@@ -1,0 +1,107 @@
+"""Text-analysis column functions for corpus curation — all native.
+
+Language-ID (character n-gram/script heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex) and rolling-hash document
+fingerprinting, as JVM-side expressions usable straight in filters and
+aggregations on a trillion-row documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Tokens by whitespace split; 0 for empty/null."""
+    c = F.coalesce(_c(col), F.lit(""))
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
+# symbols — the GPT-2-style pretoken boundary classes, minus lookaheads.
+BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Regex-token count approximating BPE pre-tokenization (native
+    regexp_count — Java regex supports \\p{L}/\\p{N} classes)."""
+    return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(BPE_TOKEN_RE))
+
+
+def char_class_counts(col: Column | str) -> dict[str, Column]:
+    """Counts of script classes used by the language heuristic."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return {
+        "total": F.length(c),
+        "hiragana": F.regexp_count(c, F.lit(r"[぀-ゟ]")),
+        "katakana": F.regexp_count(c, F.lit(r"[゠-ヿ]")),
+        "cjk": F.regexp_count(c, F.lit(r"[一-鿿]")),
+        "latin": F.regexp_count(c, F.lit(r"[A-Za-z]")),
+        "digit": F.regexp_count(c, F.lit(r"[0-9]")),
+        "punct": F.regexp_count(c, F.lit(r"[\p{Punct}。、「」・]")),
+        "space": F.regexp_count(c, F.lit(r"\s")),
+    }
+
+
+def detect_language(col: Column | str) -> Column:
+    """Script-ratio language ID: 'ja' when kana+CJK dominate, 'en' when latin
+    dominates, else 'other'; 'unknown' for empty text."""
+    cc = char_class_counts(col)
+    total = F.greatest(cc["total"], F.lit(1)).cast("double")
+    ja_ratio = (cc["hiragana"] + cc["katakana"] + cc["cjk"]) / total
+    en_ratio = cc["latin"] / total
+    return (
+        F.when(cc["total"] == 0, "unknown")
+        .when(ja_ratio >= 0.15, "ja")
+        .when(en_ratio >= 0.40, "en")
+        .otherwise("other")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score for corpus filtering.
+
+    Components (each clamped to [0,1]):
+      length_ok   — saturating length signal (≥200 chars → 1)
+      word_ok     — mean token length in a sane band (2–12 chars)
+      punct_ok    — punctuation ratio below 30%
+      alpha_ok    — letter-ish (non-digit, non-space) density ≥ 50%
+    Score = mean of the four.
+    """
+    c = F.coalesce(_c(col), F.lit(""))
+    cc = char_class_counts(col)
+    total = F.greatest(cc["total"], F.lit(1)).cast("double")
+    n_tokens = F.greatest(whitespace_token_count(col), F.lit(1)).cast("double")
+    mean_tok_len = (total - cc["space"]) / n_tokens
+    length_ok = F.least(F.length(c).cast("double") / 200.0, F.lit(1.0))
+    word_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(cc["punct"] / total <= 0.30, 1.0).otherwise(0.0)
+    alpha_ratio = (total - cc["digit"] - cc["space"]) / total
+    alpha_ok = F.when(alpha_ratio >= 0.5, 1.0).otherwise(0.0)
+    return F.round((length_ok + word_ok + punct_ok + alpha_ok) / 4.0, 4)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Stable 64-bit whole-document fingerprint over normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def rolling_fingerprints(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: hash every ``window``-word
+    sliding chunk — array<long>, native. Feed to ``array_min`` for a
+    winnowed doc signature or explode for chunk-level matching."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"\s+", " ")), " "
+    )
+    n = F.size(words)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, window), " ")),
+    )

@@ -1,0 +1,62 @@
+"""Native vector math over ``array<float>`` columns — all JVM-side.
+
+Replaces the reference's pgvector operators (``embedding <=> q`` cosine
+distance, /root/reference/src/db_utils.py:285-302) and numpy/sklearn paths
+(/root/reference/src/embedding_analyzer.py:86-91) with ``zip_with`` +
+``aggregate`` expressions that run inside whole-stage codegen — no Python,
+no UDF, usable in any filter/join/window without breaking pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ as a double (inputs cast element-wise to double first so the
+    accumulation order-independent error stays ~1e-15)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b); the reference computes 1 − cosine_distance
+    (/root/reference/src/db_utils.py:286)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_similarity_unit(a: Column | str, b: Column | str) -> Column:
+    """Fast path when both sides are unit-normalized (our embedding contract)."""
+    return dot(a, b)
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    """(/root/reference/src/embedding_analyzer.py:89-91)"""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _c(a), _c(b),
+                lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def normalize(a: Column | str) -> Column:
+    """L2-normalize an array<float> column natively."""
+    n = l2_norm(a)
+    return F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))

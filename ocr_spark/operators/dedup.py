@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's operator set (which only enforces key uniqueness,
+/root/reference/db/tags_schema.sql:37): exact, MinHash+LSH, SimHash and
+n-gram-Jaccard near-dup detection — the operations a 100 TB training-data
+pipeline needs. Everything is native column expressions (shingling, minhash
+signatures, banding and simhash are all ``transform``/``aggregate`` HOFs over
+``xxhash64`` — zero Python, so signature computation fuses into the scan).
+
+Scale design: candidate generation is always bucket-local (groupBy on a band
+hash / simhash prefix), never an O(n²) cross join; exact verification runs
+only inside candidate groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per content hash.
+
+    hash-groupBy (one shuffle on the 64-bit content hash); survivors keep all
+    original columns.
+    """
+    h = F.xxhash64(normalized_text(text_col))
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text, as array<string> — native.
+
+    Documents with fewer than k words contribute their whole text as the
+    single shingle (so short docs still dedupe exactly).
+    """
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: array of ``n_hashes`` minima of per-permutation
+    shingle hashes. Each permutation h is ``xxhash64(shingle, seed+h)``."""
+    sig = [
+        F.array_min(F.transform(shingles, lambda s, _h=h: F.xxhash64(s, F.lit(seed + _h))))
+        for h in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a < id_b).
+
+    shingle → signature → split into ``n_bands`` bands of ``n_hashes/n_bands``
+    rows → band-hash groupBy join. Shuffles once on (band, band_hash);
+    candidate volume is bucket-local.
+    """
+    rows = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, k), n_hashes, seed).alias("sig"),
+    )
+    bands = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs:
+    |A∩B| / |A∪B| over distinct word k-shingles, native set ops."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+    )
+    joined = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → exact Jaccard ≥ threshold →
+    drop the larger id of each duplicate pair (greedy single-pass; for full
+    connected-component clustering see ``dup_clusters``)."""
+    dups = jaccard_pairs(
+        df,
+        minhash_lsh_candidates(df, text_col, id_col, k, n_hashes, n_bands, seed),
+        text_col,
+        id_col,
+        k,
+        threshold,
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash64(col: Column | str, seed: int = 42) -> Column:
+    """64-bit SimHash of normalized text, fully native.
+
+    Per word w: h = xxhash64(w, seed); bit j contributes +1 if set else −1 to
+    counter j; the final hash sets bit j when counter j > 0. Implemented as an
+    ``aggregate`` over a 64-length counter array. Column-valued shift amounts
+    go through ``call_function`` (the SQL ShiftLeft/ShiftRight expressions
+    accept arbitrary child expressions; only the typed wrapper is int-only).
+    """
+    words = F.split(normalized_text(col), " ")
+    bits = F.sequence(F.lit(0), F.lit(63))
+    counters = F.aggregate(
+        words,
+        F.transform(bits, lambda _: F.lit(0)),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                bits,
+                lambda j: F.when(
+                    F.call_function(
+                        "shiftright", F.xxhash64(w, F.lit(seed)), j.cast("int")
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            bits,
+            lambda c, j: F.when(
+                c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j.cast("int"))
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Hamming-style SimHash blocking: split the 64-bit hash into
+    ``n_blocks`` 16-bit blocks; near-dups (few differing bits) must share at
+    least one block → groupBy per block. Candidate pairs carry both hashes
+    for downstream Hamming verification."""
+    base = df.select(F.col(id_col).alias("id"), simhash64(text_col, seed).alias("sh"))
+    width = 64 // n_blocks
+    blocks = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block", "block_val")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block", "block_val")
+    return (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit hashes via bit_count(xor)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    cands = simhash_candidates(df, text_col, id_col, seed)
+    return (
+        cands.withColumn("hamming", hamming64("sh_a", "sh_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,209 @@
+"""Vector similarity search operators (M3): O1/J1/J2 and the ANN scale path.
+
+Replaces the reference's pgvector serving path
+(/root/reference/src/db_utils.py:261-317, src/compare_similarity.py:74-138,
+run_pipeline.sh:348-354): cosine top-k with threshold post-filter and
+self-exclusion.
+
+Scale notes
+-----------
+* single-query top-k: the similarity expression is a narrow projection;
+  ``orderBy(desc).limit(k)`` plans as TakeOrderedAndProject (per-partition
+  heap + driver merge — no global sort shuffle).
+* query-batch top-k: small query side is broadcast; per-query ranking uses a
+  window over the query id, which shuffles once on query_id.
+* all-pairs at 10^12 scale is infeasible brute-force; :func:`lsh_bucket_pairs`
+  gives the banded-LSH pruning path (candidate pairs only from shared
+  buckets), with exact cosine re-scoring inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.vectors import cosine_similarity, cosine_similarity_unit
+
+
+def top_k_similar(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    exclude_id: str | None = None,
+    unit: bool = False,
+) -> DataFrame:
+    """O1: top-k by cosine to one query vector (defaults k=10, threshold=0.8
+    per /root/reference/src/db_utils.py:261)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = cosine_similarity_unit(vec_col, q) if unit else cosine_similarity(vec_col, q)
+    out = embeddings.withColumn("similarity", sim)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+    return (
+        out.filter(F.col("similarity") >= F.lit(threshold))
+        .orderBy(F.desc("similarity"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def top_k_per_query(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Per-query top-k: broadcast the (small) query batch, rank per query.
+
+    Self-exclusion mirrors ``file_name != q``
+    (/root/reference/src/compare_similarity.py:119-122).
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity(vec_col, query_vec_col).alias("similarity")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return (
+        joined.select(query_id_col, id_col, sim)
+        .filter(F.col("similarity") >= F.lit(threshold))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def all_pairs_similarity(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    keep_symmetric: bool = False,
+) -> DataFrame:
+    """J2: all-pairs cosine ≥ threshold (reference's e1.id != e2.id self-join,
+    /root/reference/README.md:261-270). Brute-force — correctness baseline;
+    use :func:`lsh_bucket_pairs` at scale."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    cond = (F.col("id_a") != F.col("id_b")) if keep_symmetric else (F.col("id_a") < F.col("id_b"))
+    return (
+        a.crossJoin(b)
+        .filter(cond)
+        .withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
+        .filter(F.col("similarity") >= F.lit(threshold))
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def random_projection_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """SimHash-style signed random-projection bucket id, computed natively.
+
+    Hyperplanes are deterministic pseudo-random values derived JVM-side from
+    ``xxhash64(seed, plane, component)`` — no numpy, no broadcast variable, so
+    the same expression works identically on any cluster size.
+    """
+    vec = F.col(vec_col)
+    bits = []
+    for p in range(n_planes):
+        # pseudo-random ±hyperplane component for (plane p, dim i):
+        # xxhash64 of (seed, p, i) mapped to [-0.5, 0.5)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * (
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(1_000_000)).cast("double")
+                    / 1_000_000.0
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn(out_col, bucket)
+
+
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_planes: int = 12,
+    n_bands: int = 2,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN candidate generation: pairs sharing ≥1 random-projection band
+    bucket, exact-cosine rescored. Recall grows with ``n_bands``; each band is
+    an independent plane set. The bucket join replaces the O(n²) cross join
+    with per-bucket locality (shuffle on bucket id)."""
+    cands = None
+    for band in range(n_bands):
+        bucketed = random_projection_buckets(
+            embeddings, dim, n_planes=n_planes, seed=seed + band * 7919, vec_col=vec_col
+        ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket")
+        a = bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
+        .filter(F.col("similarity") >= F.lit(threshold))
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def most_least_similar_pair(
+    embeddings: DataFrame, id_col: str = "doc_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """A7: argmax/argmin similarity pair
+    (/root/reference/src/embedding_analyzer.py:245-259)."""
+    pairs = all_pairs_similarity(embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col)
+    return pairs.agg(
+        F.max_by(F.struct("id_a", "id_b"), "similarity").alias("most_similar"),
+        F.min_by(F.struct("id_a", "id_b"), "similarity").alias("least_similar"),
+        F.max("similarity").alias("max_similarity"),
+        F.min("similarity").alias("min_similarity"),
+    )
+
+
+def head_tail_similar(
+    scored: DataFrame,
+    num_similar: int = 5,
+    num_dissimilar: int = 5,
+    order_col: str = "similarity",
+) -> DataFrame:
+    """O5: head/tail slice by similarity
+    (/root/reference/src/embedding_analyzer.py:329-333)."""
+    w_desc = Window.orderBy(F.desc(order_col))
+    w_asc = Window.orderBy(F.asc(order_col))
+    ranked = scored.withColumn("rn_top", F.row_number().over(w_desc)).withColumn(
+        "rn_bot", F.row_number().over(w_asc)
+    )
+    return ranked.filter(
+        (F.col("rn_top") <= num_similar) | (F.col("rn_bot") <= num_dissimilar)
+    ).withColumn(
+        "side", F.when(F.col("rn_top") <= num_similar, "similar").otherwise("dissimilar")
+    ).drop("rn_top", "rn_bot")

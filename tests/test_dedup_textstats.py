@@ -1,0 +1,131 @@
+"""Tests: dedup family (exact, minhash-LSH, simhash) + text-stats functions."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.functions.textstats import (
+    bpe_token_count,
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    rolling_fingerprints,
+    whitespace_token_count,
+)
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    simhash64,
+    simhash_dup_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    ("a1", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ("a2", "The quick  brown fox jumps over the lazy dog near the river bank today"),  # exact dup (normalized)
+    ("a3", "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+    ("b1", "completely different content about electrical circuits and impedance analysis methods"),
+    ("b2", "a totally unrelated sentence regarding Japanese exam question extraction pipelines"),
+    ("c1", "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = sorted(r.doc_id for r in exact_dedup(docs_df).collect())
+    assert out == ["a1", "a3", "b1", "b2", "c1"]  # a2 dropped (keeps smallest id)
+
+
+def test_word_shingles_oracle(spark, docs_df):
+    got = {r.doc_id: sorted(r.sh) for r in docs_df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()}
+    for doc_id, text in DOCS:
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(words) < 3:
+            want = sorted({" ".join(words)})
+        else:
+            want = sorted({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
+        assert got[doc_id] == want, doc_id
+
+
+def test_minhash_near_dup_detection(spark, docs_df):
+    cands = minhash_lsh_candidates(docs_df, n_hashes=32, n_bands=16)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs_df, cands, threshold=0.5).collect()}
+    assert ("a1", "a2") in pairs and pairs[("a1", "a2")] == 1.0
+    assert ("a1", "a3") in pairs and 0.5 <= pairs[("a1", "a3")] < 1.0
+    assert all(not (a.startswith("a") and b.startswith("b")) for a, b in pairs)
+
+    kept = sorted(r.doc_id for r in minhash_dedup(docs_df, threshold=0.5, n_hashes=32, n_bands=16).collect())
+    assert kept == ["a1", "b1", "b2", "c1"]
+
+
+def test_simhash_near_dup(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(docs_df, max_hamming=12).collect()}
+    assert ("a1", "a2") in pairs and pairs[("a1", "a2")] == 0
+    assert ("a1", "a3") in pairs
+    assert ("b1", "b2") not in pairs
+    # hamming function sanity
+    d = spark.createDataFrame([(0b1011, 0b0010)], "x long, y long")
+    assert d.select(hamming64("x", "y").alias("h")).collect()[0].h == 2
+
+
+def test_token_counts(spark):
+    rows = [("x", "hello world, this is 42 tokens-ish"), ("y", ""), ("z", None), ("w", "  padded   text  ")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.ws, r.bpe) for r in df.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    ).collect()}
+    assert got["x"][0] == 6
+    # hello|world|,|this|is|42|tokens|-|ish
+    assert got["x"][1] == 9
+    assert got["y"] == (0, 0) and got["z"] == (0, 0)
+    assert got["w"][0] == 2
+
+
+def test_detect_language(spark):
+    rows = [
+        ("ja", "この回路の合成抵抗を求めよ。電圧と電流の関係を示せ。"),
+        ("en", "The quick brown fox jumps over the lazy dog."),
+        ("other", "12345 67890 !!!! ????"),
+        ("unknown", ""),
+    ]
+    df = spark.createDataFrame(rows, "want string, text string")
+    for r in df.select("want", detect_language("text").alias("got")).collect():
+        assert r.got == r.want, (r.want, r.got)
+
+
+def test_quality_score_ranges(spark):
+    rows = [
+        ("good", "A well formed paragraph of reasonable length. " * 6),
+        ("digits", "1 2 3 4 5 6 7 8 9 0 " * 20),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert got["good"] >= 0.75
+    assert got["digits"] <= 0.5
+    assert 0.0 <= got["empty"] <= 0.5
+
+
+def test_fingerprints(spark, docs_df):
+    got = {r.doc_id: (r.fp, r.roll) for r in docs_df.select(
+        "doc_id", doc_fingerprint("text").alias("fp"), rolling_fingerprints("text", 4).alias("roll")
+    ).collect()}
+    assert got["a1"][0] == got["a2"][0]  # normalization-equal docs → same fingerprint
+    assert got["a1"][0] != got["a3"][0]
+    n_words = len(DOCS[0][1].split())
+    assert len(got["a1"][1]) == n_words - 3
+    # near-dup docs share most rolling chunks
+    shared = set(got["a1"][1]) & set(got["a3"][1])
+    assert len(shared) >= len(got["a1"][1]) - 4
