@@ -154,8 +154,14 @@ def derive_question_number(col: Column | str) -> Column:
 
 
 def derive_question_id(col: Column | str, prefix: str = "Q") -> Column:
-    """T13: ``{prefix}{zfill(num, 3)}`` (reference :192)."""
-    return F.concat(F.lit(prefix), F.lpad(derive_question_number(col), 3, "0"))
+    """T13: ``{prefix}{zfill(num, 3)}`` (reference :192).
+
+    Python ``zfill`` never truncates, but Spark ``lpad`` truncates to the
+    target length — so only pad when shorter than 3.
+    """
+    num = derive_question_number(col)
+    padded = F.when(F.length(num) < 3, F.lpad(num, 3, "0")).otherwise(num)
+    return F.concat(F.lit(prefix), padded)
 
 
 # ---------------------------------------------------------------------------
