@@ -84,7 +84,9 @@ def quality_score(col: Column | str) -> Column:
     punct_ok = F.when(cc["punct"] / total <= 0.30, 1.0).otherwise(0.0)
     alpha_ratio = (total - cc["digit"] - cc["space"]) / total
     alpha_ok = F.when(alpha_ratio >= 0.5, 1.0).otherwise(0.0)
-    return F.round((length_ok + word_ok + punct_ok + alpha_ok) / 4.0, 4)
+    # 5dp: the mean of quarter-components steps in 0.00125 increments, which
+    # is exact at 5 decimals (4dp would sit on rounding boundaries)
+    return F.round((length_ok + word_ok + punct_ok + alpha_ok) / 4.0, 5)
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -57,12 +57,18 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
     """MinHash signature: array of ``n_hashes`` minima of per-permutation
-    shingle hashes. Each permutation h is ``xxhash64(shingle, seed+h)``."""
-    sig = [
-        F.array_min(F.transform(shingles, lambda s, _h=h: F.xxhash64(s, F.lit(seed + _h))))
-        for h in range(n_hashes)
-    ]
-    return F.array(*sig)
+    shingle hashes. Each permutation h is ``xxhash64(shingle, seed+h)``.
+
+    NB: the per-permutation salt must be bound via a real closure — a
+    two-parameter lambda (``lambda s, _h=h``) would be interpreted by
+    ``F.transform`` as an (element, index) lambda and silently receive the
+    array index instead of the salt.
+    """
+
+    def _minhash(salt: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(salt))))
+
+    return F.array(*[_minhash(seed + h) for h in range(n_hashes)])
 
 
 def minhash_lsh_candidates(
