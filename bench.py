@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness for the PySpark extraction engine.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "headline_total_sec", "value": <total>, "unit": "sec",
+     "queries": {"extraction_pipeline": sec, ...}, "sf": 0.1,
+     "extraction": {"n_docs": N, "docs_per_sec": T, "spans_per_sec": S}}
+
+The authoritative metric (BASELINE.json) is documents/sec extraction
+throughput with span-sequence-exact output; ``extraction.docs_per_sec``
+reports it over a deterministic synthetic interleaved corpus of the
+``input_hint`` shape (heavy-doc and media-dense skew included), materialized
+to parquet first so generation cost is excluded from the measured read →
+extract → sink time. Scaling-efficiency evidence (N vs 4N cores) is produced
+by ``scripts/bench_scaling.py`` and recorded in ``BENCH/BASELINE.md``.
+
+Every query is forced with a ``noop``-format write (full computation, no
+driver collect bottleneck, no output I/O skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+# headline query subset (from __spark_entry__.queries()): one per operator
+# family — regex transform chains, span reassembly, structure grammar, dedup,
+# text stats, vector top-k, windowed analytics, joins/aggregations.
+HEADLINE = [
+    "t4_math_rewrite",
+    "t5_figure_tags",
+    "t6_layout",
+    "span_reconstruct",
+    "problems_grammar",
+    "dedup_exact",
+    "dedup_jaccard",
+    "token_stats",
+    "quality_score",
+    "topk_similar",
+    "topk_per_query",
+    "recent_events",
+    "event_histogram",
+    "q1_pricing_summary",
+    "topk_orders",
+    "weighted_scores",
+    "calculate_scores",
+    "topk_per_group",
+    "embeddings_pipeline",
+]
+
+
+def _force(df) -> None:
+    """Fully execute a DataFrame without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from ocr_spark.corpus import generate_docs
+    from ocr_spark.operators.extract import extract_docs
+    from ocr_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="ocr_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # the bench corpus is tiny on disk (heavily-compressed repetitive text) —
+    # split the scan finer than the 128 MB default so all cores get work and
+    # heavy-doc cells spread over many tasks; on a real 100 TB table the
+    # default split size already yields far more tasks than cores
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
+    from pyspark.sql import functions as F
+
+    results: dict[str, float] = {}
+
+    # --- flagship: extraction throughput on the interleaved corpus ----------
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"ocr_spark_bench_corpus_{N_BENCH_DOCS}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        generate_docs(spark, N_BENCH_DOCS, seed=42).write.mode("overwrite").parquet(corpus_dir)
+
+    docs = spark.read.parquet(corpus_dir)
+    # full untimed warm-up pass: whole-stage codegen compilation + JVM JIT
+    # dominate the first execution at this corpus size; the timed pass below
+    # measures steady-state throughput (what a long-running cluster job sees)
+    _force(extract_docs(docs))
+
+    t0 = time.perf_counter()
+    _force(extract_docs(docs))
+    extract_sec = time.perf_counter() - t0
+    results["extraction_pipeline"] = round(extract_sec, 3)
+
+    n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
+
+    # --- headline operator queries at SF_DIR --------------------------------
+    queries = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf_from_dir(SF_DIR),
+        "extraction": {
+            "n_docs": N_BENCH_DOCS,
+            "n_spans": int(n_spans),
+            "docs_per_sec": round(N_BENCH_DOCS / extract_sec, 1),
+            "spans_per_sec": round(n_spans / extract_sec, 1),
+        },
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
