@@ -41,7 +41,18 @@ from ocr_spark.functions.textstats import (
     quality_score,
     whitespace_token_count,
 )
-from ocr_spark.operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_candidates
+from ocr_spark.functions.textstats import doc_fingerprint, rolling_fingerprints
+from ocr_spark.functions.textnorm import extract_json_block, mime_type
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_dup_pairs,
+)
+from ocr_spark.operators.extract import render_markdown
+from ocr_spark.operators.sampling import stride_sample
+from ocr_spark.operators.similarity import head_tail_similar
+from ocr_spark.operators.tags import questions_with_min_years, tag_histogram
 from ocr_spark.operators.scores import (
     best_stat_per_user,
     calculate_scores,
@@ -589,6 +600,157 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: tag-value histogram (/root/reference/src/tag_manager.py:552-558)."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    tags = li.select(
+        F.col("l_partkey").cast("string").alias("question_id"),
+        F.col("l_returnflag").alias("tag_key"),
+        F.col("l_linestatus").alias("tag_value"),
+    )
+    return tag_histogram(tags, "R").withColumnRenamed("count", "n")
+
+
+def q_tag_min_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: json_array_length(tag_value) >= k (/root/reference/src/tag_manager.py:513-520)."""
+    docs = _docs_table(spark, sf_dir)
+    years = F.transform(
+        F.sequence(F.lit(2019), (F.lit(2019) + F.col("doc_id") % 4).cast("int")),
+        lambda y: y.cast("string"),
+    )
+    tags = docs.select(
+        F.col("doc_id").cast("string").alias("question_id"),
+        F.lit("year_list").alias("tag_key"),
+        F.to_json(years).alias("tag_value"),
+    )
+    return questions_with_min_years(tags, min_years=3).select("question_id", "n_years")
+
+
+def q_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: head/tail slice by similarity (/root/reference/src/embedding_analyzer.py:329-333)."""
+    from ocr_spark.functions.vectors import cosine_similarity
+
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("doc_id") != 0)
+        .select("doc_id", cosine_similarity("embedding", q).alias("similarity"))
+    )
+    out = head_tail_similar(scored, 5, 5, tiebreak_cols=("doc_id",))
+    return out.select("doc_id", F.round("similarity", 4).alias("similarity"), "side")
+
+
+def q_json_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: fenced-JSON block extraction (/root/reference/src/generate_embedding.py:187-193)."""
+    docs = _docs_table(spark, sf_dir)
+    t2 = F.concat(
+        F.lit("intro "), F.substring("text", 1, 20),
+        F.lit(' ```json\n{"k": '), F.col("doc_id").cast("string"),
+        F.lit("}\n``` outro"),
+    )
+    return docs.select("doc_id", extract_json_block(t2).alias("block"))
+
+
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: span sequence -> markdown render, order-exact
+    (/root/reference/src/compare_samples.py:129-146)."""
+    docs = _spans_from_documents(_docs_table(spark, sf_dir))
+    return render_markdown(docs)
+
+
+def q_base64_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: base64 encode + extension MIME sniff + byte checksum
+    (/root/reference/src/ocr_engine.py:190-198, src/ocr_to_markdown.py:95-123)."""
+    docs = _docs_table(spark, sf_dir)
+    ext = (
+        F.when(F.col("doc_id") % 4 == 0, "png")
+        .when(F.col("doc_id") % 4 == 1, "JPG")
+        .when(F.col("doc_id") % 4 == 2, "webp")
+        .otherwise("txt")
+    )
+    fname = F.concat(F.col("source"), F.lit("_"), F.col("doc_id").cast("string"), F.lit("."), ext)
+    checksum = F.aggregate(
+        F.transform(F.split(F.substring("text", 1, 16), ""), lambda c: F.ascii(c)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        fname.alias("file_name"),
+        mime_type(fname).alias("mime"),
+        F.base64(F.encode(F.substring("text", 1, 32), "utf-8")).alias("b64"),
+        checksum.alias("checksum"),
+    )
+
+
+def q_stride_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: k evenly-spaced docs incl. last (/root/reference/src/extract_sample_pages.py:38-50)."""
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    return stride_sample(docs, "doc_id", k=10)
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: pairs with identical 64-bit fingerprints of
+    normalized text. Oracle checks text-equality pairs — identical text <=>
+    identical xxhash64 fingerprint (collision-free at this scale)."""
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text")).alias("text"),
+    )
+    un = docs.unionByName(copies)
+    fp = un.select("doc_id", doc_fingerprint("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) chunk overlap between docs and their
+    tail-modified copies: shared distinct 8-word chunk fingerprints per pair.
+    Oracle computes shared literal chunks (hash is 1:1 on equal chunks)."""
+    docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 60).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended drift tokens here")).alias("text"),
+    )
+    un = docs.unionByName(near)
+    chunks = un.select(
+        "doc_id", F.explode(F.array_distinct(rolling_fingerprints("text", window=8))).alias("chunk")
+    )
+    a = chunks.select(F.col("doc_id").alias("id_a"), "chunk")
+    b = chunks.select(F.col("doc_id").alias("id_b"), "chunk")
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= 5)
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 bit math has no DuckDB
+    twin). Exact-copy pairs must surface at hamming 0; drifted copies at
+    small hamming."""
+    docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    un = docs.unionByName(near).withColumn(
+        "doc_id", F.lpad(F.col("doc_id").cast("string"), 7, "0")
+    )
+    return simhash_dup_pairs(un, max_hamming=6).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "hamming",
+    )
+
+
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (rows-only): full extraction pipeline over synthesized spans."""
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
@@ -639,6 +801,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_questions": q_frequent_questions,
         "union_except": q_union_except,
         "topk_per_group": q_topk_per_group,
+        "tag_histogram": q_tag_histogram,
+        "tag_min_years": q_tag_min_years,
+        "head_tail": q_head_tail,
+        "json_block": q_json_block,
+        "markdown_render": q_markdown_render,
+        "base64_mime": q_base64_mime,
+        "stride_sample": q_stride_sample,
+        "fingerprint_dups": q_fingerprint_dups,
+        "winnow_overlap": q_winnow_overlap,
+        "simhash_dups": q_simhash_dups,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -998,8 +1170,129 @@ def oracle_sql() -> dict[str, str]:
         from lineitem
         qualify rn <= 3
     """
-    # extraction_pipeline / embeddings_pipeline: non-SQL-expressible
-    # (HOF span rewrite + numpy embedding contract) → rows-only check.
+    sql["tag_histogram"] = """
+        select l_linestatus as tag_value, count(*) as n
+        from lineitem where l_returnflag = 'R' group by 1
+    """
+    sql["tag_min_years"] = """
+        with tags as (
+          select cast(doc_id as varchar) as question_id,
+                 to_json(list_transform(range(2019, 2019 + doc_id % 4 + 1),
+                                        y -> cast(y as varchar))) as tag_value
+          from documents
+        )
+        select question_id,
+               cast(json_array_length(tag_value) as int) as n_years
+        from tags where json_array_length(tag_value) >= 3
+    """
+    sql["head_tail"] = """
+        with scored as (
+          select vec_id as doc_id,
+                 list_cosine_similarity(embedding::DOUBLE[],
+                   (select embedding from embeddings where vec_id = 0)::DOUBLE[]) as sim
+          from embeddings where vec_id <> 0
+        ),
+        ranked as (
+          select doc_id, sim,
+                 row_number() over (order by sim desc, doc_id) as rn_top,
+                 row_number() over (order by sim asc, doc_id) as rn_bot
+          from scored
+        )
+        select doc_id, round(sim, 4) as similarity,
+               case when rn_top <= 5 then 'similar' else 'dissimilar' end as side
+        from ranked where rn_top <= 5 or rn_bot <= 5
+    """
+    sql["json_block"] = r"""
+        select doc_id,
+               trim(regexp_extract(
+                 'intro ' || substring(text, 1, 20) || ' ```json' || chr(10) ||
+                 '{"k": ' || doc_id || '}' || chr(10) || '``` outro',
+                 '(?s)```json(.*?)```', 1)) as block
+        from documents
+    """
+    sql["markdown_render"] = """
+        select doc_id, replace(text, ' ', chr(10) || chr(10)) as content
+        from documents
+    """
+    sql["base64_mime"] = """
+        with named as (
+          select doc_id, text, source,
+                 case when doc_id % 4 = 0 then 'png'
+                      when doc_id % 4 = 1 then 'JPG'
+                      when doc_id % 4 = 2 then 'webp' else 'txt' end as ext
+          from documents
+        )
+        select doc_id,
+               source || '_' || doc_id || '.' || ext as file_name,
+               case lower(ext) when 'png' then 'image/png'
+                    when 'jpg' then 'image/jpeg' when 'jpeg' then 'image/jpeg'
+                    when 'webp' then 'image/webp' when 'gif' then 'image/gif'
+                    else 'application/octet-stream' end as mime,
+               to_base64(encode(substring(text, 1, 32))) as b64,
+               cast(list_aggregate(list_transform(
+                 regexp_extract_all(substring(text, 1, 16), '.'), c -> ord(c)),
+                 'sum') as int) as checksum
+        from named
+    """
+    sql["stride_sample"] = """
+        with d as (
+          select doc_id,
+                 cast(row_number() over (order by doc_id) - 1 as bigint) as idx,
+                 count(*) over () as n
+          from documents
+        ),
+        ind as (
+          select *, list_transform(range(0, 10), i -> (i * n) // 10) as base from d
+        ),
+        fx as (
+          select doc_id, idx, n,
+                 case when list_contains(base, n - 1) then base
+                      else list_append(base[1:9], n - 1) end as inds
+          from ind
+        )
+        select doc_id, idx from fx where n <= 10 or list_contains(inds, idx)
+    """
+    sql["fingerprint_dups"] = r"""
+        with un as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 200000, '  ' || upper(text)
+          from documents where doc_id % 7 = 0
+        ),
+        norm as (
+          select doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+          from un
+        )
+        select a.doc_id as id_a, b.doc_id as id_b
+        from norm a join norm b on a.nt = b.nt and a.doc_id < b.doc_id
+    """
+    sql["winnow_overlap"] = r"""
+        with un as (
+          select doc_id, text from documents where doc_id < 60
+          union all
+          select doc_id + 300000, text || ' appended drift tokens here'
+          from documents where doc_id < 60 and doc_id % 3 = 0
+        ),
+        words as (
+          select doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
+          from un
+        ),
+        chunks as (
+          select doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))) as chunk
+          from words
+        )
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared_chunks
+        from chunks a join chunks b on a.chunk = b.chunk and a.doc_id < b.doc_id
+        group by 1, 2 having count(*) >= 5
+    """
+    # extraction_pipeline / embeddings_pipeline / simhash_dups:
+    # non-SQL-expressible (HOF span rewrite, numpy embedding contract,
+    # xxhash64 bit math) → rows-only check.
     return sql
 
 

@@ -194,11 +194,15 @@ def head_tail_similar(
     num_similar: int = 5,
     num_dissimilar: int = 5,
     order_col: str = "similarity",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """O5: head/tail slice by similarity
-    (/root/reference/src/embedding_analyzer.py:329-333)."""
-    w_desc = Window.orderBy(F.desc(order_col))
-    w_asc = Window.orderBy(F.asc(order_col))
+    (/root/reference/src/embedding_analyzer.py:329-333).
+
+    ``tiebreak_cols`` make the slice deterministic under equal scores."""
+    tb = [F.col(c) for c in tiebreak_cols]
+    w_desc = Window.orderBy(F.desc(order_col), *tb)
+    w_asc = Window.orderBy(F.asc(order_col), *tb)
     ranked = scored.withColumn("rn_top", F.row_number().over(w_desc)).withColumn(
         "rn_bot", F.row_number().over(w_asc)
     )
