@@ -51,7 +51,7 @@ from ocr_spark.operators.dedup import (
 )
 from ocr_spark.operators.extract import render_markdown
 from ocr_spark.operators.sampling import stride_sample
-from ocr_spark.operators.similarity import head_tail_similar
+from ocr_spark.operators.similarity import ann_topk_per_query, head_tail_similar
 from ocr_spark.operators.tags import questions_with_min_years, tag_histogram
 from ocr_spark.operators.scores import (
     best_stat_per_user,
@@ -751,6 +751,84 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: synthesize blobs (some with PNG/JPEG
+    magic), decode metadata and run the T11 resize-quality loop
+    (/root/reference/src/gemini_image_analyzer.py:536-576) — Arrow-batched
+    pandas UDFs over a binary column; oracle re-derives every field
+    arithmetically."""
+    from ocr_spark.operators.media import make_decode_udf, make_resize_udf
+
+    decode_image_meta, resize_image_if_needed = make_decode_udf(), make_resize_udf()
+    docs = _docs_table(spark, sf_dir)
+    payload = F.concat(
+        F.col("source"), F.lit(":"),
+        F.repeat(F.substring("text", 1, 50), ((F.col("doc_id") % 40) * 20).cast("int")),
+    )
+    ascii_bytes = F.encode(payload, "utf-8")
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.unhex(F.lit("89504E47")), ascii_bytes))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.unhex(F.lit("FFD8")), ascii_bytes))
+        .otherwise(ascii_bytes)
+    )
+    df = (
+        docs.withColumn("data", blob)
+        .withColumn("meta", decode_image_meta("data"))
+        .withColumn("rz", resize_image_if_needed("data"))
+    )
+    return df.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("rz.n_bytes").alias("final_bytes"),
+        F.col("rz.quality").alias("quality"),
+        F.col("rz.resized").alias("resized"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram media features (T15's image half, deterministic fake
+    decode) through the full media_table pipeline; exploded for value-exact
+    oracle comparison."""
+    from ocr_spark.operators.media import (
+        byte_histogram_features,
+        make_decode_udf,
+        make_resize_udf,
+        synthesize_media_bytes,
+    )
+
+    decode_image_meta, resize_image_if_needed = make_decode_udf(), make_resize_udf()
+    docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", F.col("source").alias("media_ref"), "text"
+    )
+    feat = byte_histogram_features(64, as_double=True)
+    mt = (
+        docs.withColumn("data", synthesize_media_bytes("media_ref", "text"))
+        .withColumn("meta", decode_image_meta("data"))
+        .withColumn("rz", resize_image_if_needed("data"))
+        .withColumn("features", feat(F.col("rz.data")))
+    )
+    return mt.select("doc_id", F.posexplode("features").alias("bucket", "v")).select(
+        "doc_id", "bucket", F.round("v", 4).alias("val")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via LCG random-projection buckets + exact rescoring — the
+    scale path replacing pgvector ivfflat (/root/reference/src/db_utils.py:104-107).
+    The oracle recomputes the identical bucket arithmetic in SQL."""
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    qs = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann_topk_per_query(emb, qs, dim=64, k=5, n_planes=8, n_bands=2, seed=42)
+    return out.select(
+        "query_id", "doc_id", F.round("similarity", 4).alias("similarity"), "rank"
+    )
+
+
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (rows-only): full extraction pipeline over synthesized spans."""
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
@@ -811,6 +889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "winnow_overlap": q_winnow_overlap,
         "simhash_dups": q_simhash_dups,
+        "ann_topk": q_ann_topk,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1289,6 +1370,102 @@ def oracle_sql() -> dict[str, str]:
         select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared_chunks
         from chunks a join chunks b on a.chunk = b.chunk and a.doc_id < b.doc_id
         group by 1, 2 having count(*) >= 5
+    """
+    sql["ann_topk"] = """
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        bands as (select * from (values (0, 42), (1, 7961)) t(band, s)),
+        planes as (select * from range(0, 8) t(p)),
+        proj as (
+          select e.vec_id, b.band, pl.p,
+                 list_aggregate(list_transform(range(0, 64),
+                   i -> v[i+1] * (((1103515245*(b.s + pl.p*8191 + i) + 12345)
+                                   % 2147483648) / 2147483648.0 - 0.5)),
+                   'sum') as d
+          from e, bands b, planes pl
+        ),
+        buckets as (
+          select vec_id, band,
+                 sum(case when d >= 0 then cast(pow(2, p) as bigint) else 0 end) as bucket
+          from proj group by 1, 2
+        ),
+        qb as (select * from buckets where vec_id < 3),
+        cand as (
+          select distinct q.vec_id as query_id, eb.vec_id as doc_id
+          from qb q join buckets eb on q.band = eb.band and q.bucket = eb.bucket
+          where eb.vec_id <> q.vec_id
+        ),
+        scored as (
+          select c.query_id, c.doc_id, list_cosine_similarity(eq.v, ed.v) as sim
+          from cand c
+          join e eq on eq.vec_id = c.query_id
+          join e ed on ed.vec_id = c.doc_id
+        )
+        select query_id, doc_id, round(sim, 4) as similarity,
+               cast(row_number() over (partition by query_id
+                    order by sim desc, doc_id) as int) as rank
+        from scored qualify rank <= 5
+    """
+    sql["media_meta"] = """
+        with base as (
+          select doc_id,
+                 source || ':' || repeat(substring(text, 1, 50), (doc_id % 40) * 20) as s,
+                 doc_id % 3 as m
+          from documents
+        ),
+        sized as (
+          select doc_id, s, m,
+                 case when m = 0 then 4 when m = 1 then 2 else 0 end as magic_len,
+                 case when m = 0 then 137+80+78+71 when m = 1 then 255+216 else 0 end as magic_sum
+          from base
+        ),
+        meta as (
+          select doc_id, m, magic_len,
+                 magic_len + length(s) as n,
+                 magic_sum + list_aggregate(list_transform(
+                   regexp_extract_all(substring(s, 1, 16 - magic_len), '.'),
+                   c -> ord(c)), 'sum') as head_sum
+          from sized
+        ),
+        rz as (
+          select doc_id, m, n, head_sum,
+                 n > 25000 as resized,
+                 case when n <= 25000 then 100
+                      else coalesce(list_filter([80,70,60,50,40,30,20],
+                                                q -> (n*q)//100 <= 25000)[1], 20)
+                 end as quality
+          from meta
+        )
+        select doc_id,
+               cast(1 + n % 600 as int) as width,
+               cast(1 + head_sum % 600 as int) as height,
+               case when m = 0 then 'png' when m = 1 then 'jpeg'
+                    else 'fake-bin' end as format,
+               cast(n as int) as n_bytes,
+               cast(case when resized then (n * quality)//100 else n end as int) as final_bytes,
+               cast(quality as int) as quality,
+               resized
+        from rz
+    """
+    sql["media_features"] = """
+        with base as (
+          select doc_id, source || ':' || text as s from documents where doc_id < 100
+        ),
+        chars as (
+          select doc_id,
+                 unnest(list_transform(regexp_extract_all(s, '.'), c -> ord(c) % 64)) as bucket
+          from base
+        ),
+        counts as (
+          select doc_id, bucket, cast(count(*) as double) as cnt
+          from chars group by 1, 2
+        ),
+        norms as (select doc_id, sqrt(sum(cnt*cnt)) as nrm from counts group by 1),
+        grid as (select b.doc_id, r.b as bucket from base b, range(0, 64) r(b))
+        select g.doc_id, cast(g.bucket as int) as bucket,
+               round(coalesce(c.cnt, 0) / n.nrm, 4) as val
+        from grid g
+        join norms n using (doc_id)
+        left join counts c on c.doc_id = g.doc_id and c.bucket = g.bucket
     """
     # extraction_pipeline / embeddings_pipeline / simhash_dups:
     # non-SQL-expressible (HOF span rewrite, numpy embedding contract,

@@ -1,0 +1,174 @@
+"""Multimodal (binary) column operators — T11 image transforms + media
+feature plumbing for a training-data pipeline.
+
+The reference loads images from disk, resizes/recompresses them under a
+25,000-byte cap with a JPEG quality loop (80→20 step −10,
+/root/reference/src/gemini_image_analyzer.py:536-576), and feeds bytes to
+embedding APIs (:578-667). Here media are opaque ``binary`` columns with
+typed metadata; all transforms are Arrow-batched pandas UDFs over the bytes
+(never per-row Python loops in the plan).
+
+Image decoding libraries (PIL et al.) are NOT in this container, so the
+pixel-level math is STUBBED behind a clearly-marked deterministic fake
+(:func:`_fake_decode`, :func:`_fake_recompress`); the Spark-side plumbing —
+binary schema, UDF signatures, Arrow batch shapes, partitioning — is real
+and oracle-tested. Swap the two ``_fake_*`` functions for PIL calls to get
+real decoding with zero plan changes; with PIL absent, the real path raises
+``NotImplementedError`` (see :func:`real_decode_unavailable`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+_PNG_MAGIC = b"\x89PNG"
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+def real_decode_unavailable() -> None:
+    """The real decode path (kept for clusters with PIL installed)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decoding needs PIL; this environment ships none — "
+            "the deterministic fake decode is used instead"
+        ) from exc
+
+
+def synthesize_media_bytes(
+    ref_col: Column | str, payload_col: Column | str
+) -> Column:
+    """Deterministic fake media bytes: ``media_ref || ':' || payload`` UTF-8
+    encoded. Stands in for reading blobs from an object store
+    (``spark.read.format('binaryFile')`` in production)."""
+    r = F.col(ref_col) if isinstance(ref_col, str) else ref_col
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    return F.encode(F.concat(r, F.lit(":"), p), "utf-8")
+
+
+def _fake_decode(b: bytes) -> tuple[int, int, str]:
+    """STUB decode — deterministic pure function of the bytes.
+
+    width  = 1 + n_bytes mod 600
+    height = 1 + (sum of first 16 byte values) mod 600
+    format sniffed from magic numbers, else 'fake-bin'.
+    """
+    n = len(b)
+    w = 1 + n % 600
+    h = 1 + (sum(b[:16]) % 600)
+    if b.startswith(_PNG_MAGIC):
+        fmt = "png"
+    elif b.startswith(_JPEG_MAGIC):
+        fmt = "jpeg"
+    else:
+        fmt = "fake-bin"
+    return w, h, fmt
+
+
+def make_decode_udf():
+    """Arrow-batched metadata decode over a binary column.
+
+    Factory (not a module-level decorator): the worker re-imports this
+    module when deserializing by reference, and a module-level
+    ``@pandas_udf`` with a DDL-string return type would try to parse the
+    type without an active session there."""
+
+    @pandas_udf("struct<width:int,height:int,format:string,n_bytes:int>")
+    def decode_image_meta(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None, None))
+                continue
+            w, h, fmt = _fake_decode(bytes(b))
+            rows.append((w, h, fmt, len(b)))
+        return pd.DataFrame(rows, columns=["width", "height", "format", "n_bytes"])
+
+    return decode_image_meta
+
+
+_QUALITY_STEPS = tuple(range(80, 19, -10))  # 80,70,...,20 — reference loop
+_MAX_BYTES = 25_000  # reference cap (src/gemini_image_analyzer.py:539)
+
+
+def _fake_recompress(b: bytes, quality: int) -> bytes:
+    """STUB recompress: keep the first ``len*quality/100`` bytes.
+
+    Deterministic, monotone in ``quality`` — mirrors the *control flow* of
+    the reference's JPEG-quality loop exactly; only the pixel math is fake.
+    """
+    return b[: int(len(b) * quality / 100)]
+
+
+def make_resize_udf():
+    """T11: if bytes > 25,000 — recompress at quality 80→20 step −10 until
+    under the cap (taking the q=20 result if none passes), else pass through
+    (/root/reference/src/gemini_image_analyzer.py:536-576)."""
+
+    @pandas_udf("struct<data:binary,n_bytes:int,quality:int,resized:boolean>")
+    def resize_image_if_needed(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None, None))
+                continue
+            b = bytes(b)
+            if len(b) <= _MAX_BYTES:
+                rows.append((b, len(b), 100, False))
+                continue
+            out, q_used = b, _QUALITY_STEPS[-1]
+            for q in _QUALITY_STEPS:
+                out = _fake_recompress(b, q)
+                q_used = q
+                if len(out) <= _MAX_BYTES:
+                    break
+            rows.append((out, len(out), q_used, True))
+        return pd.DataFrame(rows, columns=["data", "n_bytes", "quality", "resized"])
+
+    return resize_image_if_needed
+
+
+def byte_histogram_features(dim: int = 64, as_double: bool = False):
+    """Arrow-batched byte-histogram feature vector (unit-L2) — the
+    deterministic stand-in for pixel-level feature extraction (T15's image
+    half). numpy ``bincount`` over the whole batch; no per-byte Python.
+
+    ``as_double=True`` keeps float64 (used by the cross-engine oracle check,
+    where float32 quantization would make 4-dp rounding ambiguous); the
+    storage contract stays float32."""
+    out_dtype = np.float64 if as_double else np.float32
+
+    @pandas_udf("array<double>" if as_double else "array<float>")
+    def features(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            if b is None:
+                out.append(None)
+                continue
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+            norm = np.linalg.norm(hist)
+            out.append((hist / norm if norm > 0 else hist).astype(out_dtype))
+        return pd.Series(out)
+
+    return features
+
+
+def media_table(docs: DataFrame, ref_col: str = "media_ref",
+                payload_col: str = "text") -> DataFrame:
+    """Standard media pipeline: synthesize blobs → decode meta → resize →
+    features. One Arrow-batched Python stage; everything else native."""
+    with_bytes = docs.withColumn(
+        "data", synthesize_media_bytes(ref_col, payload_col)
+    )
+    feat = byte_histogram_features(64)
+    return (
+        with_bytes.withColumn("meta", make_decode_udf()("data"))
+        .withColumn("resized", make_resize_udf()("data"))
+        .withColumn("features", feat(F.col("resized.data")))
+    )

@@ -104,6 +104,18 @@ def all_pairs_similarity(
     )
 
 
+def _lcg_component(seed: int, plane: int, i: "F.Column") -> "F.Column":
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+
+    Pure integer LCG mix — chosen over xxhash64 because the identical
+    arithmetic is expressible in any SQL engine (the DuckDB oracle recomputes
+    it bit-for-bit): v = (1103515245*(seed + plane*8191 + i) + 12345) mod 2^31.
+    """
+    key = F.lit(seed + plane * 8191) + i.cast("long")
+    v = F.pmod(F.lit(1103515245) * key + F.lit(12345), F.lit(2**31))
+    return v.cast("double") / float(2**31) - 0.5
+
+
 def random_projection_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -114,26 +126,23 @@ def random_projection_buckets(
 ) -> DataFrame:
     """SimHash-style signed random-projection bucket id, computed natively.
 
-    Hyperplanes are deterministic pseudo-random values derived JVM-side from
-    ``xxhash64(seed, plane, component)`` — no numpy, no broadcast variable, so
-    the same expression works identically on any cluster size.
+    Hyperplanes are deterministic LCG-derived values — no numpy, no broadcast
+    variable, so the same expression works identically on any cluster size
+    AND is reproducible in plain SQL for oracle checks. Summation over
+    components is left-to-right in both engines, so the double-precision
+    projection (and therefore the sign bit) is bit-identical.
     """
     vec = F.col(vec_col)
     bits = []
+
+    def _term(plane: int):
+        # real closure: a default-arg lambda would be read by zip_with as a
+        # 3-parameter (element, element, index) function (see dedup.py note)
+        return lambda x, i: x.cast("double") * _lcg_component(seed, plane, i)
+
     for p in range(n_planes):
-        # pseudo-random ±hyperplane component for (plane p, dim i):
-        # xxhash64 of (seed, p, i) mapped to [-0.5, 0.5)
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * (
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(1_000_000)).cast("double")
-                    / 1_000_000.0
-                    - 0.5
-                ),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _term(p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -142,6 +151,59 @@ def random_projection_buckets(
     for b in bits[1:]:
         bucket = bucket + b
     return embeddings.withColumn(out_col, bucket)
+
+
+def ann_topk_per_query(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: candidates = vectors sharing the query's random-projection
+    bucket in >=1 band; exact cosine rescoring + per-query ranking.
+
+    This is the scale path replacing pgvector's ivfflat index
+    (/root/reference/src/db_utils.py:104-107): the bucket equi-join prunes
+    the O(n_queries x n_vectors) cross join to per-bucket locality — one
+    shuffle on (band, bucket) instead of a broadcast of everything. Recall
+    is tunable via n_bands (independent plane sets).
+    """
+    cand = None
+    for band in range(n_bands):
+        bseed = seed + band * 7919
+        e_b = random_projection_buckets(
+            embeddings, dim, n_planes=n_planes, seed=bseed, vec_col=vec_col
+        ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), "bucket")
+        q_b = random_projection_buckets(
+            queries, dim, n_planes=n_planes, seed=bseed, vec_col=query_vec_col
+        ).select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec"), "bucket"
+        )
+        pairs = e_b.join(q_b, "bucket").drop("bucket")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    rescored = (
+        cand.dropDuplicates(["__qid", "__id"])
+        .filter(F.col("__id") != F.col("__qid"))
+        .withColumn("similarity", cosine_similarity("__vec", "__qvec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("similarity"), F.col("__id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            "similarity",
+            "rank",
+        )
+    )
 
 
 def lsh_bucket_pairs(

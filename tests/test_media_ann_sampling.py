@@ -1,0 +1,164 @@
+"""Unit tests: multimodal binary operators, ANN top-k, stride sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.media import (
+    _MAX_BYTES,
+    byte_histogram_features,
+    make_decode_udf,
+    make_resize_udf,
+    media_table,
+    real_decode_unavailable,
+    synthesize_media_bytes,
+)
+from ocr_spark.operators.sampling import stride_sample
+from ocr_spark.operators.similarity import ann_topk_per_query, top_k_per_query
+
+
+# ---------------------------------------------------------------------------
+# media
+# ---------------------------------------------------------------------------
+def _blob_df(spark, blobs):
+    return spark.createDataFrame([(i, b) for i, b in enumerate(blobs)], ["i", "data"])
+
+
+def test_decode_meta_fake_contract(spark):
+    blobs = [b"\x89PNG1234", b"\xff\xd8rest", b"plainbytes" * 100, None]
+    rows = (
+        _blob_df(spark, blobs)
+        .withColumn("m", make_decode_udf()("data"))
+        .select("i", "m.*")
+        .orderBy("i")
+        .collect()
+    )
+    for r, b in zip(rows, blobs):
+        if b is None:
+            assert r.width is None and r.format is None
+            continue
+        assert r.n_bytes == len(b)
+        assert r.width == 1 + len(b) % 600
+        assert r.height == 1 + sum(b[:16]) % 600
+    assert rows[0].format == "png"
+    assert rows[1].format == "jpeg"
+    assert rows[2].format == "fake-bin"
+
+
+def test_resize_loop_matches_reference_semantics(spark):
+    # below cap: passthrough; just above: q=80 suffices; huge: deeper q
+    blobs = [b"x" * 10, b"y" * _MAX_BYTES, b"z" * (_MAX_BYTES + 1), b"w" * 200_000]
+    rows = (
+        _blob_df(spark, blobs)
+        .withColumn("r", make_resize_udf()("data"))
+        .select("i", "r.*")
+        .orderBy("i")
+        .collect()
+    )
+    assert (rows[0].resized, rows[0].quality, rows[0].n_bytes) == (False, 100, 10)
+    assert (rows[1].resized, rows[1].n_bytes) == (False, _MAX_BYTES)
+    assert rows[2].resized and rows[2].quality == 80
+    assert rows[2].n_bytes == int((_MAX_BYTES + 1) * 80 / 100)
+    # 200k: first q with 200000*q/100 <= 25000 → q = 10? steps stop at 20 →
+    # no q passes (200000*20/100 = 40000) → fallback q=20, size 40000
+    assert rows[3].quality == 20 and rows[3].n_bytes == 40_000 and rows[3].resized
+
+
+def test_features_unit_norm_and_none(spark):
+    df = _blob_df(spark, [b"abcabc", None]).withColumn(
+        "f", byte_histogram_features(64)("data")
+    )
+    rows = df.orderBy("i").collect()
+    v = np.array(rows[0].f, dtype=np.float64)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    assert rows[1].f is None
+
+
+def test_media_table_end_to_end_schema(spark):
+    docs = spark.createDataFrame(
+        [("d1", "img://d1/f.png", "payload text")], ["doc_id", "media_ref", "text"]
+    )
+    out = media_table(docs)
+    row = out.select("doc_id", "meta.format", "resized.resized", F.size("features").alias("k")).collect()[0]
+    assert row[0] == "d1" and row[1] == "fake-bin" and row[2] is False and row[3] == 64
+
+
+def test_real_decode_gate():
+    with pytest.raises(NotImplementedError):
+        real_decode_unavailable()
+
+
+def test_synthesize_bytes_deterministic(spark):
+    df = spark.createDataFrame([("r", "p")], ["a", "b"])
+    out = df.select(synthesize_media_bytes("a", "b").alias("x")).collect()[0].x
+    assert bytes(out) == b"r:p"
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+def _emb_df(spark, n=80, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        v = rng.normal(0, 1, dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    return spark.createDataFrame(rows, ["doc_id", "embedding"])
+
+
+def test_ann_subset_of_bruteforce_and_exact_sims(spark):
+    emb = _emb_df(spark)
+    qs = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = ann_topk_per_query(emb, qs, dim=16, k=5, n_planes=4, n_bands=2).collect()
+    brute = {
+        (r.query_id, r.doc_id): r.similarity
+        for r in top_k_per_query(
+            emb, qs, k=80, threshold=-2.0
+        ).collect()
+    }
+    assert len(ann) > 0
+    for r in ann:
+        assert r.doc_id != r.query_id
+        # exact rescoring: similarity equals the brute-force cosine
+        assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
+
+
+def test_ann_partitioning_invariant(spark):
+    emb = _emb_df(spark)
+    qs = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_topk_per_query(emb, qs, dim=16, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.doc_id, r.rank)
+        for r in ann_topk_per_query(emb.repartition(13), qs, dim=16, k=5).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stride sampling (S3)
+# ---------------------------------------------------------------------------
+def _reference_indices(n: int, k: int) -> list[int]:
+    """Twin of /root/reference/src/extract_sample_pages.py:38-50."""
+    if n <= k:
+        return list(range(n))
+    idx = [int(i * n / k) for i in range(k)]
+    if n - 1 not in idx:
+        idx[-1] = n - 1
+    return idx
+
+
+@pytest.mark.parametrize("n,k", [(500, 10), (23, 10), (10, 10), (7, 10), (101, 7)])
+def test_stride_sample_matches_reference(spark, n, k):
+    df = spark.range(n).select((F.col("id") * 3).alias("doc_id"))
+    got = sorted(r.idx for r in stride_sample(df, "doc_id", k=k).collect())
+    want = sorted(set(_reference_indices(n, k)))
+    assert got == want
