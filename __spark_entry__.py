@@ -751,6 +751,16 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (drop-the-larger-id policy):
+    survivors of cosine >= 0.4 against any lower id."""
+    from ocr_spark.operators.dedup import embedding_near_dup_ids
+
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    dropped = embedding_near_dup_ids(emb, threshold=0.4)
+    return emb.join(dropped, "doc_id", "left_anti").select("doc_id", "label")
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesize blobs (some with PNG/JPEG
     magic), decode metadata and run the T11 resize-quality loop
@@ -892,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
+        "embedding_near_dup": q_embedding_near_dup,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1404,6 +1415,15 @@ def oracle_sql() -> dict[str, str]:
                cast(row_number() over (partition by query_id
                     order by sim desc, doc_id) as int) as rank
         from scored qualify rank <= 5
+    """
+    sql["embedding_near_dup"] = """
+        select e.vec_id as doc_id, e.label
+        from embeddings e
+        where not exists (
+          select 1 from embeddings o
+          where o.vec_id < e.vec_id
+            and list_cosine_similarity(o.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[]) >= 0.4)
     """
     sql["media_meta"] = """
         with base as (

@@ -51,6 +51,10 @@ HEADLINE = [
     "quality_score",
     "topk_similar",
     "topk_per_query",
+    "ann_topk",
+    "embedding_near_dup",
+    "fingerprint_dups",
+    "media_meta",
     "recent_events",
     "event_histogram",
     "q1_pricing_summary",

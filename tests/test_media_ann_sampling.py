@@ -127,6 +127,26 @@ def test_ann_subset_of_bruteforce_and_exact_sims(spark):
         assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
 
 
+def test_blocked_allpairs_matches_expression_path(spark):
+    from ocr_spark.operators.similarity import (
+        all_pairs_similarity,
+        all_pairs_similarity_blocked,
+    )
+
+    emb = _emb_df(spark, n=60, dim=8, seed=11)
+    expr = {
+        (r.id_a, r.id_b): r.similarity
+        for r in all_pairs_similarity(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.similarity
+        for r in all_pairs_similarity_blocked(emb, threshold=0.3, n_blocks=3).collect()
+    }
+    assert set(expr) == set(blocked)
+    for k in expr:
+        assert abs(expr[k] - blocked[k]) < 1e-9
+
+
 def test_ann_partitioning_invariant(spark):
     emb = _emb_df(spark)
     qs = emb.filter(F.col("doc_id") < 2).select(
