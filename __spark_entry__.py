@@ -825,6 +825,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_problems_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: problems struct -> reference-exact markdown render
+    (/root/reference/src/compare_samples.py:129-146), fully native fold."""
+    from ocr_spark.operators.structure import render_problems_markdown
+
+    docs = _spans_from_documents(_docs_table(spark, sf_dir))
+    probs = extract_problems(docs)
+    return render_problems_markdown(probs).select("doc_id", "markdown")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via LCG random-projection buckets + exact rescoring — the
     scale path replacing pgvector ivfflat (/root/reference/src/db_utils.py:104-107).
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
+        "problems_markdown": q_problems_markdown,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1415,6 +1426,54 @@ def oracle_sql() -> dict[str, str]:
                cast(row_number() over (partition by query_id
                     order by sim desc, doc_id) as int) as rank
         from scored qualify rank <= 5
+    """
+    sql["problems_markdown"] = f"""
+        {_WORDS_CTE},
+        spans as (
+          select doc_id, pos, word, ({_SPAN_KIND_SQL}) as kind from words
+        ),
+        numbered as (
+          select *, sum(case when kind = 'heading' then 1 else 0 end)
+                    over (partition by doc_id order by pos
+                          rows between unbounded preceding and current row) as pid
+          from spans
+        ),
+        groups as (
+          select doc_id, pid,
+                 coalesce(string_agg(
+                   case when kind in ('heading','text') then word end,
+                   chr(10) order by pos), '') as question,
+                 coalesce(string_agg(
+                   case when kind = 'choice' then
+                     coalesce(nullif(regexp_extract(word,
+                       '^\\s*(\\d+)[\\.．、]?\\s*(.*)$', 1), ''), '')
+                     || '. ' ||
+                     regexp_extract(word, '^\\s*(\\d+)[\\.．、]?\\s*(.*)$', 2)
+                     || chr(10)
+                   end, '' order by pos), '') as choices_md,
+                 sum(case when kind = 'choice' then 1 else 0 end) as n_choices
+          from numbered where pid > 0
+          group by doc_id, pid
+        ),
+        lasts as (select doc_id, max(pid) as last_pid from groups group by doc_id),
+        kept as (
+          select g.* from groups g join lasts l using (doc_id)
+          where not (g.pid = l.last_pid and g.n_choices = 0)
+        ),
+        rendered as (
+          select doc_id,
+                 string_agg(
+                   '## 問題 ' || pid || chr(10) || chr(10) ||
+                   question || chr(10) || chr(10) ||
+                   '### 選択肢' || chr(10) || chr(10) ||
+                   choices_md || chr(10) ||
+                   '### 正解' || chr(10) || chr(10) || 'N/A' || chr(10) || chr(10) ||
+                   '---' || chr(10) || chr(10),
+                   '' order by pid) as markdown
+          from kept group by doc_id
+        )
+        select d.doc_id, coalesce(r.markdown, '') as markdown
+        from documents d left join rendered r using (doc_id)
     """
     sql["embedding_near_dup"] = """
         select e.vec_id as doc_id, e.label

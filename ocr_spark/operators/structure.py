@@ -156,6 +156,53 @@ def extract_problems(docs: DataFrame) -> DataFrame:
     )
 
 
+def render_problems_markdown(
+    problems_df: DataFrame, problems_col: str = "problems", out_col: str = "markdown"
+) -> DataFrame:
+    """T10 — problems struct → reference-exact markdown
+    (/root/reference/src/compare_samples.py:129-146):
+
+    ``## 問題 {id|N/A}`` / question / ``### 選択肢`` / ``{num}. {text}`` lines /
+    ``### 正解`` / answer|N/A / optional ``### 解説`` (emitted when an
+    explanation is present — the reference's ``'explanation' in problem``
+    check; our typed struct models absence as null/empty) / ``---``.
+
+    Pure native fold (``aggregate`` over the problems array) — no Python.
+    """
+
+    def _one(pr: Column) -> Column:
+        choices_md = F.aggregate(
+            pr["choices"],
+            F.lit(""),
+            lambda acc, c: F.concat(
+                acc,
+                F.coalesce(c["number"].cast("string"), F.lit("")),
+                F.lit(". "),
+                F.coalesce(c["text"], F.lit("")),
+                F.lit("\n"),
+            ),
+        )
+        base = F.concat(
+            F.lit("## 問題 "),
+            F.coalesce(pr["id"].cast("string"), F.lit("N/A")),
+            F.lit("\n\n"),
+            F.coalesce(pr["question"], F.lit("")),
+            F.lit("\n\n### 選択肢\n\n"),
+            choices_md,
+            F.lit("\n### 正解\n\n"),
+            F.coalesce(pr["correct_answer"].cast("string"), F.lit("N/A")),
+            F.lit("\n\n"),
+        )
+        expl = F.when(
+            pr["explanation"].isNotNull() & (pr["explanation"] != ""),
+            F.concat(F.lit("### 解説\n\n"), pr["explanation"], F.lit("\n\n")),
+        ).otherwise(F.lit(""))
+        return F.concat(base, expl, F.lit("---\n\n"))
+
+    md = F.aggregate(F.col(problems_col), F.lit(""), lambda acc, pr: F.concat(acc, _one(pr)))
+    return problems_df.withColumn(out_col, md)
+
+
 def salvage_json(col: Column | str) -> Column:
     """T8/T9 JSON-salvage: substring from first ``{`` to last ``}``.
 
