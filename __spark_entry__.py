@@ -761,6 +761,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "doc_id", "left_anti").select("doc_id", "label")
 
 
+def q_extreme_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: most/least similar pair via max_by/min_by
+    (/root/reference/src/embedding_analyzer.py:245-259)."""
+    from ocr_spark.operators.similarity import most_least_similar_pair
+
+    emb = _emb_table(spark, sf_dir).filter(F.col("vec_id") < 200).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    out = most_least_similar_pair(emb)
+    return out.select(
+        F.col("most_similar.id_a").alias("most_a"),
+        F.col("most_similar.id_b").alias("most_b"),
+        F.round("max_similarity", 4).alias("max_sim"),
+        F.col("least_similar.id_a").alias("least_a"),
+        F.col("least_similar.id_b").alias("least_b"),
+        F.round("min_similarity", 4).alias("min_sim"),
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesize blobs (some with PNG/JPEG
     magic), decode metadata and run the T11 resize-quality loop
@@ -914,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
         "problems_markdown": q_problems_markdown,
+        "extreme_pair": q_extreme_pair,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1426,6 +1446,20 @@ def oracle_sql() -> dict[str, str]:
                cast(row_number() over (partition by query_id
                     order by sim desc, doc_id) as int) as rank
         from scored qualify rank <= 5
+    """
+    sql["extreme_pair"] = """
+        with pairs as (
+          select a.vec_id as id_a, b.vec_id as id_b,
+                 list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) as sim
+          from embeddings a join embeddings b on a.vec_id < b.vec_id
+          where a.vec_id < 200 and b.vec_id < 200
+        )
+        select arg_max(id_a, sim) as most_a, arg_max(id_b, sim) as most_b,
+               round(max(sim), 4) as max_sim,
+               arg_min(id_a, sim) as least_a, arg_min(id_b, sim) as least_b,
+               round(min(sim), 4) as min_sim
+        from pairs
     """
     sql["problems_markdown"] = f"""
         {_WORDS_CTE},

@@ -45,6 +45,7 @@ HEADLINE = [
     "t6_layout",
     "span_reconstruct",
     "problems_grammar",
+    "problems_markdown",
     "dedup_exact",
     "dedup_jaccard",
     "token_stats",
