@@ -55,6 +55,8 @@ _API = {
     "run_pipeline": "ocr_spark.plans.pipeline",
     "run_pipeline_checkpointed": "ocr_spark.plans.pipeline",
     "stream_extract": "ocr_spark.streaming.ingest",
+    "stream_event_counts": "ocr_spark.streaming.aggregate",
+    "windowed_event_counts": "ocr_spark.streaming.aggregate",
 }
 
 __all__ = sorted(_API) + ["__version__"]

@@ -1,0 +1,52 @@
+"""Plan-hygiene regression tests: scans must stay pruned and pushed down.
+
+These pin the physical-plan properties the 100 TB design depends on; a
+refactor that silently widens a scan or adds a shuffle fails here, not in a
+benchmark three rounds later.
+"""
+
+from __future__ import annotations
+
+import os
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+    plan = _plan(spark, "recent_events")
+    assert "LessThan(user_id,10)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "token_stats")
+    # 2-column projection over a 5-column table: scan must read only those
+    assert "struct<doc_id:bigint,text:string>" in plan
+    assert "lang" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_narrow_queries_have_no_exchange(spark):
+    for name in ("t4_math_rewrite", "t6_layout", "token_stats", "quality_score"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:1500]}"
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
