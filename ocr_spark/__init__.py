@@ -57,6 +57,8 @@ _API = {
     "stream_extract": "ocr_spark.streaming.ingest",
     "stream_event_counts": "ocr_spark.streaming.aggregate",
     "windowed_event_counts": "ocr_spark.streaming.aggregate",
+    "stream_dedup_firstseen": "ocr_spark.streaming.stateful",
+    "streaming_first_seen": "ocr_spark.streaming.stateful",
 }
 
 __all__ = sorted(_API) + ["__version__"]
