@@ -8,7 +8,8 @@ parallelism levels — ``local[8]`` and ``local[32]`` — in separate
 subprocesses (a SparkSession's master can't change within one JVM), and
 report docs/sec at both plus efficiency = (tp_4N / tp_N) / 4.
 
-Writes ``BENCH/BASELINE.md`` and prints one JSON line.
+Writes ``BENCH/SCALING_RUN.md`` (BENCH/BASELINE.md is the curated
+evidence document; this file is the latest raw run) and prints one JSON line.
 
 Usage: python scripts/bench_scaling.py [n_docs]
 """
@@ -93,7 +94,7 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north rule)
+    md = f"""# BENCH/SCALING_RUN.md — latest raw scaling run (curated evidence: BENCH/BASELINE.md)
 
 Authoritative metric (`BASELINE.json`): documents/sec extraction throughput
 with span-sequence-exact output, **>=0.8 scaling efficiency from N to 4N
@@ -128,7 +129,7 @@ Notes
   equivalence-tested for when per-doc cell time dominates (million-span
   docs).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
 
 
