@@ -761,6 +761,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "doc_id", "left_anti").select("doc_id", "label")
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch twin of the streaming
+    watermarked aggregation, ocr_spark.streaming.aggregate)."""
+    from ocr_spark.streaming.aggregate import windowed_event_counts
+
+    ev = _events_table(spark, sf_dir)
+    return windowed_event_counts(ev, window="1 hour")
+
+
 def q_extreme_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: most/least similar pair via max_by/min_by
     (/root/reference/src/embedding_analyzer.py:245-259)."""
@@ -786,9 +795,9 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/gemini_image_analyzer.py:536-576) — Arrow-batched
     pandas UDFs over a binary column; oracle re-derives every field
     arithmetically."""
-    from ocr_spark.operators.media import make_decode_udf, make_resize_udf
+    from ocr_spark.operators.media import make_decode_udf, make_resize_meta_udf
 
-    decode_image_meta, resize_image_if_needed = make_decode_udf(), make_resize_udf()
+    decode_image_meta, resize_meta = make_decode_udf(), make_resize_meta_udf()
     docs = _docs_table(spark, sf_dir)
     payload = F.concat(
         F.col("source"), F.lit(":"),
@@ -803,7 +812,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         docs.withColumn("data", blob)
         .withColumn("meta", decode_image_meta("data"))
-        .withColumn("rz", resize_image_if_needed("data"))
+        .withColumn("rz", resize_meta("data"))
     )
     return df.select(
         "doc_id",
@@ -934,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "problems_markdown": q_problems_markdown,
         "extreme_pair": q_extreme_pair,
+        "event_windows": q_event_windows,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1446,6 +1456,15 @@ def oracle_sql() -> dict[str, str]:
                cast(row_number() over (partition by query_id
                     order by sim desc, doc_id) as int) as rank
         from scored qualify rank <= 5
+    """
+    sql["event_windows"] = """
+        select time_bucket(interval '1 hour', ts) as window_start,
+               time_bucket(interval '1 hour', ts) + interval '1 hour' as window_end,
+               event_type,
+               count(*) as n_events,
+               round(sum(value), 2) as total_value
+        from events
+        group by 1, 2, 3
     """
     sql["extreme_pair"] = """
         with pairs as (

@@ -52,6 +52,7 @@ _API = {
     "salted_join": "ocr_spark.operators.skew",
     "skewed_join_aqe": "ocr_spark.operators.skew",
     "media_table": "ocr_spark.operators.media",
+    "sample_frames": "ocr_spark.operators.media",
     "run_pipeline": "ocr_spark.plans.pipeline",
     "run_pipeline_checkpointed": "ocr_spark.plans.pipeline",
     "stream_extract": "ocr_spark.streaming.ingest",

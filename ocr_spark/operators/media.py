@@ -133,6 +133,35 @@ def make_resize_udf():
     return resize_image_if_needed
 
 
+def make_resize_meta_udf():
+    """Stats-only variant of :func:`make_resize_udf`: identical quality-loop
+    semantics but returns only (n_bytes, quality, resized) — use when the
+    resized blob itself isn't consumed downstream, so the Arrow return path
+    carries 12 bytes per row instead of the full recompressed image."""
+
+    @pandas_udf("struct<n_bytes:int,quality:int,resized:boolean>")
+    def resize_meta(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None))
+                continue
+            n = len(bytes(b))
+            if n <= _MAX_BYTES:
+                rows.append((n, 100, False))
+                continue
+            q_used, out_n = _QUALITY_STEPS[-1], n
+            for q in _QUALITY_STEPS:
+                out_n = int(n * q / 100)
+                q_used = q
+                if out_n <= _MAX_BYTES:
+                    break
+            rows.append((out_n, q_used, True))
+        return pd.DataFrame(rows, columns=["n_bytes", "quality", "resized"])
+
+    return resize_meta
+
+
 def byte_histogram_features(dim: int = 64, as_double: bool = False):
     """Arrow-batched byte-histogram feature vector (unit-L2) — the
     deterministic stand-in for pixel-level feature extraction (T15's image
@@ -157,6 +186,47 @@ def byte_histogram_features(dim: int = 64, as_double: bool = False):
         return pd.Series(out)
 
     return features
+
+
+def sample_frames(
+    media: DataFrame,
+    bytes_col: str = "data",
+    id_col: str = "doc_id",
+    frame_size: int = 1024,
+    every_k: int = 5,
+) -> DataFrame:
+    """Video-style frame sampling over a binary column via ``mapInPandas``.
+
+    The container has no video codecs, so a "video" is modeled as a
+    concatenation of fixed-size ``frame_size`` chunks (the STUB decode, same
+    policy as :func:`_fake_decode`); every ``every_k``-th frame is emitted as
+    ``(id, frame_no, frame_bytes)``. The plumbing — iterator-of-batches
+    mapInPandas with per-batch fan-out (one input row → many frame rows),
+    Arrow both ways — is exactly the real video path's shape; swap the
+    chunker for an av/ffmpeg keyframe iterator for real decoding.
+    """
+
+    def _frames(batches):
+        for pdf in batches:
+            out_ids, out_nos, out_frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
+                for fno in range(0, n_frames, every_k):
+                    out_ids.append(doc_id)
+                    out_nos.append(fno)
+                    out_frames.append(b[fno * frame_size : (fno + 1) * frame_size])
+            yield pd.DataFrame(
+                {id_col: out_ids, "frame_no": out_nos, "frame": out_frames}
+            )
+
+    id_field = media.schema[id_col]
+    return media.select(id_col, bytes_col).mapInPandas(
+        _frames,
+        schema=f"{id_col} {id_field.dataType.simpleString()}, frame_no int, frame binary",
+    )
 
 
 def media_table(docs: DataFrame, ref_col: str = "media_ref",

@@ -85,6 +85,25 @@ def test_media_table_end_to_end_schema(spark):
     assert row[0] == "d1" and row[1] == "fake-bin" and row[2] is False and row[3] == 64
 
 
+def test_sample_frames_fanout_and_stride(spark):
+    from ocr_spark.operators.media import sample_frames
+
+    blobs = [b"A" * 2500, b"B" * 100, None]
+    df = spark.createDataFrame(
+        [(f"d{i}", b) for i, b in enumerate(blobs)], ["doc_id", "data"]
+    )
+    rows = sample_frames(df, frame_size=1000, every_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_no, len(bytes(r.frame))))
+    # d0: 3 frames (1000,1000,500) -> sampled frames 0 and 2
+    assert sorted(by_doc["d0"]) == [(0, 1000), (2, 500)]
+    # d1: single short frame
+    assert by_doc["d1"] == [(0, 100)]
+    # null blob contributes nothing
+    assert "d2" not in by_doc
+
+
 def test_real_decode_gate():
     with pytest.raises(NotImplementedError):
         real_decode_unavailable()
