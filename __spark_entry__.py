@@ -789,6 +789,21 @@ def q_extreme_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer + cell-local exact search
+    (pgvector ivfflat analog); oracle recomputes cells + probes in SQL."""
+    from ocr_spark.operators.similarity import ivf_topk_per_query
+
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    qs = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk_per_query(emb, qs, n_cells=16, n_probe=4, k=5)
+    return out.select(
+        "query_id", "doc_id", F.round("similarity", 4).alias("similarity"), "rank"
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: synthesize blobs (some with PNG/JPEG
     magic), decode metadata and run the T11 resize-quality loop
@@ -944,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "problems_markdown": q_problems_markdown,
         "extreme_pair": q_extreme_pair,
         "event_windows": q_event_windows,
+        "ivf_topk": q_ivf_topk,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1451,6 +1467,41 @@ def oracle_sql() -> dict[str, str]:
           from cand c
           join e eq on eq.vec_id = c.query_id
           join e ed on ed.vec_id = c.doc_id
+        )
+        select query_id, doc_id, round(sim, 4) as similarity,
+               cast(row_number() over (partition by query_id
+                    order by sim desc, doc_id) as int) as rank
+        from scored qualify rank <= 5
+    """
+    sql["ivf_topk"] = """
+        with e as (
+          select vec_id, embedding::DOUBLE[] as v,
+                 row_number() over (order by vec_id) - 1 as r
+          from embeddings
+        ),
+        params as (select greatest(count(*) // 16, 1) as stride from e),
+        cents as (
+          select cast(r // stride as int) as cell, v as cvec
+          from e, params where r % stride = 0 and r < 16 * stride
+        ),
+        assign as (
+          select e.vec_id, e.v, c.cell,
+                 row_number() over (partition by e.vec_id
+                     order by list_cosine_similarity(e.v, c.cvec) desc, c.cell) as rn
+          from e cross join cents c
+        ),
+        cells as (select vec_id, v, cell from assign where rn = 1),
+        qprobe as (
+          select vec_id as query_id, v as qv, cell
+          from assign where vec_id < 3 and rn <= 4
+        ),
+        cand as (
+          select q.query_id, q.qv, d.vec_id as doc_id, d.v
+          from qprobe q join cells d using (cell)
+          where d.vec_id <> q.query_id
+        ),
+        scored as (
+          select query_id, doc_id, list_cosine_similarity(v, qv) as sim from cand
         )
         select query_id, doc_id, round(sim, 4) as similarity,
                cast(row_number() over (partition by query_id

@@ -248,6 +248,87 @@ def lsh_bucket_pairs(
     )
 
 
+def ivf_topk_per_query(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_stride_seed: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic coarse quantizer + cell-local
+    exact search — the second scale path next to :func:`ann_topk_per_query`
+    (pgvector's ivfflat analog, /root/reference/src/db_utils.py:104-107,
+    ``lists=100``).
+
+    * **Centroids**: ``n_cells`` vectors picked by a deterministic id-rank
+      stride (no k-means iterations — reproducible on any cluster AND in the
+      SQL oracle; a kmeans|| refinement can replace the picker without plan
+      changes).
+    * **Assignment**: every vector goes to its max-cosine centroid
+      (broadcast centroid array, native ``max_by``).
+    * **Search**: a query probes its ``n_probe`` nearest cells; exact cosine
+      rescoring + ranking runs only inside those cells.
+    Shuffle profile: one groupBy on cell id; candidate volume is
+    ``n_probe/n_cells`` of the corpus instead of all of it.
+    """
+    w_rank = Window.orderBy(id_col)
+    n_total = embeddings.count()
+    stride = max(1, n_total // n_cells)
+    cents = (
+        embeddings.withColumn("__r", F.row_number().over(w_rank) - 1)
+        .filter((F.col("__r") % stride == centroid_stride_seed) & (F.col("__r") / stride < n_cells))
+        .withColumn("cell", (F.col("__r") / stride).cast("int"))
+        .select("cell", F.col(vec_col).alias("cvec"))
+    )
+    cent_rows = cents.collect()  # n_cells rows — driver-side by design
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cell"]).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _best_cells(vec: Column, n: int) -> Column:
+        """cells of the n nearest centroids, as array<int> (native sort)."""
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-cosine_similarity(vec, c["cvec"])).alias("neg_sim"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        return F.slice(
+            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
+        )
+
+    assigned = embeddings.withColumn(
+        "cell", F.element_at(_best_cells(F.col(vec_col), 1), 1)
+    )
+    probed = queries.withColumn(
+        "cell", F.explode(_best_cells(F.col(query_vec_col), n_probe))
+    )
+    cand = assigned.join(probed, "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    rescored = cand.withColumn(
+        "similarity", cosine_similarity(vec_col, query_vec_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "similarity", "rank")
+    )
+
+
 def all_pairs_similarity_blocked(
     embeddings: DataFrame,
     threshold: float = 0.8,

@@ -146,6 +146,30 @@ def test_ann_subset_of_bruteforce_and_exact_sims(spark):
         assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
 
 
+def test_ivf_exact_sims_and_recall(spark):
+    from ocr_spark.operators.similarity import ivf_topk_per_query
+
+    emb = _emb_df(spark, n=120, dim=16, seed=9)
+    qs = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = ivf_topk_per_query(emb, qs, n_cells=8, n_probe=3, k=5).collect()
+    brute = {
+        (r.query_id, r.doc_id): r.similarity
+        for r in top_k_per_query(emb, qs, k=120, threshold=-2.0).collect()
+    }
+    assert len(ivf) > 0
+    for r in ivf:
+        assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
+    # probing ALL cells must recover the exact brute-force top-k
+    full = ivf_topk_per_query(emb, qs, n_cells=8, n_probe=8, k=5).collect()
+    brute_top = {
+        (r.query_id, r.doc_id)
+        for r in top_k_per_query(emb, qs, k=5, threshold=-2.0).collect()
+    }
+    assert {(r.query_id, r.doc_id) for r in full} == brute_top
+
+
 def test_blocked_allpairs_matches_expression_path(spark):
     from ocr_spark.operators.similarity import (
         all_pairs_similarity,
