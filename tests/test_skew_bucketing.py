@@ -57,6 +57,40 @@ def test_aqe_skew_join_configured_and_correct(spark):
     assert out.count() == facts.count()  # every key 0..96 exists in dim
 
 
+def test_aqe_actually_splits_skewed_partition(spark):
+    """Not just config: the finalized adaptive plan must show the hot
+    partition split (SortMergeJoin(skew=true) + skewed AQEShuffleRead).
+
+    Plan finalization only lands on the DataFrame's OWN query execution, so
+    the action must run through the DF (foreachPartition), not count()."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        facts = spark.range(1_500_000).select(
+            F.when(F.rand(seed=2) < 0.9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("p"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        out = facts.join(dim, "k")
+        out.foreachPartition(lambda it: sum(1 for _ in it))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Pre-bucketing both sides on the join key removes the join Exchange —
     the co-located-join strategy for repeatedly-joined 100 TB tables.
