@@ -893,7 +893,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (rows-only): full extraction pipeline over synthesized spans."""
+    """Flagship: full extraction pipeline over synthesized spans; the oracle
+    re-derives per-doc span counts + kind distribution (span *count* is an
+    invariant of extraction on this corpus — no word matches a figure-ref
+    pattern, so no split/promotion; text rewrites are pinned by
+    markdown_render and the t4/t5/t6 gates instead)."""
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
     stages = run_pipeline(docs, dim=64)
     ext = stages["extracted"]
@@ -901,11 +905,14 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("spans").alias("n_spans"),
         F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "heading")).alias("n_headings"),
     )
 
 
 def q_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: deterministic embedding generation (numpy contract)."""
+    """Embedding generation; the SQL-checkable contract is exactly one
+    unit-norm record per doc with the declared dim/type (the numpy draw
+    itself is pinned by tests/test_structure_embed.py's numpy oracle)."""
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
     stages = run_pipeline(docs, dim=64)
     emb = stages["embeddings"]
@@ -1224,8 +1231,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         agg as (
           select user_id, exam_type,
-                 sum(case when status then 1 else 0 end) as correct_count,
-                 sum(case when status then 0 else 1 end) as wrong_count,
+                 -- cast: DuckDB sum(case) is HUGEINT, which pandas widens to
+                 -- float64 ("102.0") and the driver's value hash then differs
+                 -- from Spark's bigint ("102") despite identical values
+                 cast(sum(case when status then 1 else 0 end) as bigint) as correct_count,
+                 cast(sum(case when status then 0 else 1 end) as bigint) as wrong_count,
                  sum(case when difficulty is not null then
                      (case difficulty when 'LOW' then 0.8 when 'HIGH' then 1.2 else 1.0 end)
                      * (case when is_mandatory then 1.5 else 1.0 end) else 0.0 end) as total_weight,
@@ -1588,6 +1598,11 @@ def oracle_sql() -> dict[str, str]:
             and list_cosine_similarity(o.embedding::DOUBLE[],
                                        e.embedding::DOUBLE[]) >= 0.4)
     """
+    # NOTE (media_meta / media_features): the oracles use DuckDB CHARACTER
+    # arithmetic (ord/length/substring on strings) as a twin for the Spark
+    # side's BYTE arithmetic. This equivalence holds because the fixture
+    # corpus is pure ASCII (verified: 0 non-ASCII rows at every SF) — a
+    # non-ASCII corpus would need encode()/octet_length() here instead.
     sql["media_meta"] = """
         with base as (
           select doc_id,
@@ -1650,9 +1665,25 @@ def oracle_sql() -> dict[str, str]:
         join norms n using (doc_id)
         left join counts c on c.doc_id = g.doc_id and c.bucket = g.bucket
     """
-    # extraction_pipeline / embeddings_pipeline / simhash_dups:
-    # non-SQL-expressible (HOF span rewrite, numpy embedding contract,
-    # xxhash64 bit math) → rows-only check.
+    # The extraction pipeline rewrites span TEXT (math/layout chains) but —
+    # verified against the corpus: no word matches a figure-ref pattern, so no
+    # span is ever split or media-promoted — per-doc span counts and kind
+    # distribution are invariants derivable straight from _SPAN_KIND_SQL.
+    sql["extraction_pipeline"] = f"""
+        {_WORDS_CTE}
+        select doc_id,
+               cast(count(*) as int) as n_spans,
+               cast(sum(case when ({_SPAN_KIND_SQL}) = 'media' then 1 else 0 end) as int) as n_media,
+               cast(sum(case when ({_SPAN_KIND_SQL}) = 'heading' then 1 else 0 end) as int) as n_headings
+        from words group by doc_id
+    """
+    # The embedding stage's numpy draw has no SQL twin (pytest pins it against
+    # a numpy oracle); the SQL-checkable contract is exactly-one unit record
+    # per doc with the declared dim and type.
+    sql["embeddings_pipeline"] = """
+        select doc_id, cast(64 as int) as dim, 'text' as embedding_type
+        from documents
+    """
     return sql
 
 

@@ -103,7 +103,11 @@ def main() -> None:
     results: dict[str, float] = {}
 
     # --- flagship: extraction throughput on the interleaved corpus ----------
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"ocr_spark_bench_corpus_{N_BENCH_DOCS}")
+    from ocr_spark.corpus import CORPUS_VERSION
+
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_bench_corpus_{CORPUS_VERSION}_{N_BENCH_DOCS}"
+    )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         generate_docs(spark, N_BENCH_DOCS, seed=42).write.mode("overwrite").parquet(corpus_dir)

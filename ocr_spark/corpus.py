@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ocr_spark.schema import DOC_SCHEMA
 
+# Bump whenever _gen_doc / fragments / knob semantics change: bench.py and
+# scripts/bench_scaling.py key their /tmp parquet cache on this token, so a
+# generator change invalidates cached corpora instead of silently reusing
+# stale data in the headline/scaling evidence.
+CORPUS_VERSION = "v1"
+
 _TEXT_FRAGMENTS = (
     "この回路の合成抵抗を求めよ",
     "The impedance is given by √{n}",

@@ -47,7 +47,19 @@ def salted_join(
     hot key's rows spread over ``n_salts`` reducers. Result equals the plain
     join exactly (tested), with ``n_salts``× small-side duplication as the
     price.
+
+    ``how`` is restricted to joins whose output never emits unmatched
+    SMALL-side rows: under right/full-outer every unmatched small-side
+    replica would surface ``n_salts`` times, diverging from the plain join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "replicas would be emitted n_salts times (allowed: inner/left/"
+            "left_semi/left_anti)"
+        )
     big_s = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),

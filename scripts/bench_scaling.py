@@ -70,7 +70,10 @@ def run_level(cores: int, corpus: str) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
-    corpus = os.path.join("/tmp", f"ocr_spark_bench_corpus_{n_docs}")
+    sys.path.insert(0, REPO)
+    from ocr_spark.corpus import CORPUS_VERSION
+
+    corpus = os.path.join("/tmp", f"ocr_spark_bench_corpus_{CORPUS_VERSION}_{n_docs}")
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         gen = (
             "import sys; sys.path.insert(0, {repo!r})\n"

@@ -35,6 +35,26 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_equivalence_per_join_type(spark):
+    """Every allowed `how` must equal the plain join; small side is missing
+    half the keys so left-outer nulls and anti survivors are exercised."""
+    facts = _skewed_facts(spark, n=10_000)
+    dim = _dim(spark).filter(F.col("k") < 50)  # keys 50..96 unmatched
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = facts.join(dim, "k", how)
+        salted = salted_join(facts, dim, "k", n_salts=8, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), f"salted_join diverges from plain join for how={how}"
+
+
+def test_salted_join_rejects_outer_small_side(spark):
+    facts, dim = _skewed_facts(spark, n=1_000), _dim(spark)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(facts, dim, "k", n_salts=8, how=how)
+
+
 def test_salted_join_spreads_hot_key(spark):
     facts, dim = _skewed_facts(spark, n=20_000), _dim(spark)
     salted = salted_join(facts, dim, "k", n_salts=8)
