@@ -805,14 +805,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary plumbing: synthesize blobs (some with PNG/JPEG
+    """Multimodal binary metadata: synthesize blobs (some with PNG/JPEG
     magic), decode metadata and run the T11 resize-quality loop
-    (/root/reference/src/gemini_image_analyzer.py:536-576) — Arrow-batched
-    pandas UDFs over a binary column; oracle re-derives every field
-    arithmetically."""
-    from ocr_spark.operators.media import make_decode_udf, make_resize_meta_udf
+    (/root/reference/src/gemini_image_analyzer.py:536-576) — via the NATIVE
+    JVM-side byte-stat path (decode_meta_native/resize_meta_native): zero
+    Arrow traffic for a metadata-only query (the r1 two-UDF version shipped
+    every multi-KB blob to Python twice — 52% of the whole bench). The
+    pandas-UDF decode plumbing stays exercised by media_features and the
+    native≡UDF property test (tests/test_media_ann_sampling.py)."""
+    from ocr_spark.operators.media import decode_meta_native, resize_meta_native
 
-    decode_image_meta, resize_meta = make_decode_udf(), make_resize_meta_udf()
     docs = _docs_table(spark, sf_dir)
     payload = F.concat(
         F.col("source"), F.lit(":"),
@@ -826,8 +828,8 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         docs.withColumn("data", blob)
-        .withColumn("meta", decode_image_meta("data"))
-        .withColumn("rz", resize_meta("data"))
+        .withColumn("meta", decode_meta_native("data"))
+        .withColumn("rz", resize_meta_native(F.col("meta.n_bytes")))
     )
     return df.select(
         "doc_id",

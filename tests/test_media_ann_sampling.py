@@ -104,6 +104,64 @@ def test_sample_frames_fanout_and_stride(spark):
     assert "d2" not in by_doc
 
 
+def test_native_meta_equals_udf_paths(spark):
+    """decode_meta_native / resize_meta_native / make_media_meta_udf must all
+    agree with the original two-UDF path on arbitrary byte patterns (incl.
+    magic prefixes, 16-byte boundary, cap boundary, empty, null)."""
+    from ocr_spark.operators.media import (
+        decode_meta_native,
+        make_media_meta_udf,
+        make_resize_meta_udf,
+        resize_meta_native,
+    )
+
+    rng = np.random.RandomState(3)
+    blobs = [
+        b"",
+        b"\x89PNG",
+        b"\x89PNG" + bytes(rng.randint(0, 256, 40_000, dtype=np.uint8)),
+        b"\xff\xd8" + bytes(rng.randint(0, 256, 12, dtype=np.uint8)),
+        bytes(rng.randint(0, 256, 15, dtype=np.uint8)),
+        bytes(rng.randint(0, 256, 16, dtype=np.uint8)),
+        bytes(rng.randint(0, 256, 17, dtype=np.uint8)),
+        b"q" * _MAX_BYTES,
+        b"q" * (_MAX_BYTES + 1),
+        bytes(rng.randint(0, 256, 200_000, dtype=np.uint8)),
+        None,
+    ]
+    df = _blob_df(spark, blobs)
+    udf_rows = (
+        df.withColumn("m", make_decode_udf()("data"))
+        .withColumn("r", make_resize_meta_udf()("data"))
+        .select("i", "m.*", F.col("r.n_bytes").alias("final_bytes"),
+                "r.quality", "r.resized")
+        .orderBy("i")
+        .collect()
+    )
+    nat_rows = (
+        df.withColumn("m", decode_meta_native("data"))
+        .withColumn("r", resize_meta_native(F.col("m.n_bytes")))
+        .select("i", "m.*", F.col("r.n_bytes").alias("final_bytes"),
+                "r.quality", "r.resized")
+        .orderBy("i")
+        .collect()
+    )
+    fused_rows = (
+        df.withColumn("f", make_media_meta_udf()("data"))
+        .select("i", "f.width", "f.height", "f.format", "f.n_bytes",
+                "f.final_bytes", "f.quality", "f.resized")
+        .orderBy("i")
+        .collect()
+    )
+    for u, n, f in zip(udf_rows, nat_rows, fused_rows):
+        if u.n_bytes is None:
+            # native expressions are total functions of the bytes; only the
+            # null ROW contract differs (fused/UDF emit all-null structs)
+            assert f.n_bytes is None
+            continue
+        assert tuple(u) == tuple(n) == tuple(f), (u, n, f)
+
+
 def test_real_decode_gate():
     with pytest.raises(NotImplementedError):
         real_decode_unavailable()

@@ -50,3 +50,12 @@ def test_narrow_queries_have_no_exchange(spark):
 def test_topk_plans_as_take_ordered(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_media_meta_is_python_free(spark):
+    """The metadata-only media query must stay on the native byte-stat path:
+    no Arrow/Python stage may ship multi-KB blobs out of the JVM (the r1
+    two-UDF version was 52% of the whole bench)."""
+    plan = _plan(spark, "media_meta")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
+    assert "Exchange" not in plan  # narrow projection, no shuffle either
