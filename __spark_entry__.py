@@ -410,15 +410,18 @@ def q_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_allpairs_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_table(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b"))
-    from ocr_spark.functions.vectors import cosine_similarity
+    """J2 over labels. Each side is unit-normalized BELOW the join (norm
+    evaluated once per row via unit_vector), so the n² per-pair work is a
+    bare dot product — not dot + two norms recomputed per pair."""
+    from ocr_spark.functions.vectors import cosine_similarity_unit, unit_vector
 
+    emb = _emb_table(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), unit_vector("embedding").alias("va"), F.col("label").alias("label_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), unit_vector("embedding").alias("vb"), F.col("label").alias("label_b"))
     pairs = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity("va", "vb") >= 0.25)
+        .filter(cosine_similarity_unit("va", "vb") >= 0.25)
     )
     return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
 
@@ -1487,14 +1490,21 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ivf_topk"] = """
         with e as (
-          select vec_id, embedding::DOUBLE[] as v,
-                 row_number() over (order by vec_id) - 1 as r
-          from embeddings
+          select vec_id, embedding::DOUBLE[] as v from embeddings
         ),
-        params as (select greatest(count(*) // 16, 1) as stride from e),
+        keyed as (
+          -- centroid pick = n_cells smallest LCG keys (mirrors the Spark
+          -- TakeOrderedAndProject pick bit-for-bit; ids are non-negative so
+          -- % == pmod)
+          select vec_id, v,
+                 (1103515245 * vec_id + 12345) % 2147483648 as key
+          from e
+        ),
         cents as (
-          select cast(r // stride as int) as cell, v as cvec
-          from e, params where r % stride = 0 and r < 16 * stride
+          select cast(row_number() over (order by key, vec_id) as int) - 1 as cell,
+                 v as cvec
+          from keyed
+          qualify row_number() over (order by key, vec_id) <= 16
         ),
         assign as (
           select e.vec_id, e.v, c.cell,

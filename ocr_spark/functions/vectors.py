@@ -60,3 +60,21 @@ def normalize(a: Column | str) -> Column:
     """L2-normalize an array<float> column natively."""
     n = l2_norm(a)
     return F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))
+
+
+def unit_vector(a: Column | str) -> Column:
+    """L2-normalize with the norm evaluated ONCE per row, as array<double>.
+
+    ``normalize`` references the norm inside a ``transform`` lambda; Catalyst
+    re-inlines aliased expressions into HOF lambda bodies (no CSE there), so
+    that form recomputes the O(dim) norm per ELEMENT — O(dim²)/row. Here the
+    norm sits in ``array_repeat``'s argument — evaluated once, outside any
+    lambda — and the division is a ``zip_with`` over (vec, norm-array):
+    O(dim)/row. Use below self-joins so per-pair work is a bare dot product
+    (``cosine_similarity_unit``)."""
+    c = _c(a)
+    return F.zip_with(
+        c,
+        F.array_repeat(l2_norm(c), F.size(c)),
+        lambda x, n: x.cast("double") / n,
+    )

@@ -89,21 +89,19 @@ def all_pairs_similarity(
     /root/reference/README.md:261-270). Brute-force — correctness baseline;
     use :func:`lsh_bucket_pairs` at scale.
 
-    Each side is L2-normalized ONCE per row below the join (the projection
-    stays under the join, so it is not re-inlined per pair — unlike a naive
-    ``cosine_similarity`` on raw vectors, which recomputes both norms for
-    every one of the n² pairs; measured ~5x slower)."""
-    from ocr_spark.functions.vectors import l2_norm
-
-    def _unit(vc: str) -> F.Column:
-        n = l2_norm(vc)
-        return F.transform(F.col(vc), lambda x: x.cast("double") / n)
+    Each side is L2-normalized below the join via
+    :func:`~ocr_spark.functions.vectors.unit_vector` — the norm is evaluated
+    once per ROW (zip_with against an array_repeat of the scalar, never
+    inside a HOF lambda where Catalyst would re-inline it per element) — so
+    per-pair work is a bare dot product instead of dot + two norms
+    (measured ~5x faster than naive ``cosine_similarity`` on raw vectors)."""
+    from ocr_spark.functions.vectors import unit_vector
 
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), _unit(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"), unit_vector(vec_col).alias("vec_a")
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), _unit(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"), unit_vector(vec_col).alias("vec_b")
     )
     cond = (F.col("id_a") != F.col("id_b")) if keep_symmetric else (F.col("id_a") < F.col("id_b"))
     return (
@@ -248,6 +246,32 @@ def lsh_bucket_pairs(
     )
 
 
+def ivf_centroid_pick(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """The ``n_cells`` rows with the smallest LCG key of the numeric id —
+    plans as TakeOrderedAndProject (per-partition k-heap + driver merge):
+    no global sort, no count() job (tests/test_plan_hygiene.py pins this)."""
+    lcg_key = F.pmod(
+        F.lit(1103515245) * (F.col(id_col).cast("long") + F.lit(seed))
+        + F.lit(12345),
+        F.lit(2**31),
+    )
+    return (
+        embeddings.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("cvec"),
+            lcg_key.alias("__key"),
+        )
+        .orderBy("__key", "__cid")
+        .limit(n_cells)
+    )
+
+
 def ivf_topk_per_query(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -258,17 +282,23 @@ def ivf_topk_per_query(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    centroid_stride_seed: int = 0,
+    centroid_seed: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse quantizer + cell-local
     exact search — the second scale path next to :func:`ann_topk_per_query`
     (pgvector's ivfflat analog, /root/reference/src/db_utils.py:104-107,
     ``lists=100``).
 
-    * **Centroids**: ``n_cells`` vectors picked by a deterministic id-rank
-      stride (no k-means iterations — reproducible on any cluster AND in the
-      SQL oracle; a kmeans|| refinement can replace the picker without plan
-      changes).
+    * **Centroids**: the ``n_cells`` rows with the smallest LCG key of the
+      numeric id — a deterministic pseudo-random sample via
+      ``orderBy(key, id).limit(n_cells)``, which plans as
+      TakeOrderedAndProject (per-partition k-row heap + driver merge).
+      The r1 picker ranked the WHOLE table through an un-partitioned
+      ``Window.orderBy`` (global single-task sort) plus an extra ``count()``
+      job; this form needs neither. The LCG (not xxhash64) keeps the pick
+      reproducible in plain SQL for the oracle. ``id_col`` must be numeric
+      (pre-hash string ids). A kmeans|| refinement can replace the picker
+      without plan changes.
     * **Assignment**: every vector goes to its max-cosine centroid
       (broadcast centroid array, native ``max_by``).
     * **Search**: a query probes its ``n_probe`` nearest cells; exact cosine
@@ -276,16 +306,12 @@ def ivf_topk_per_query(
     Shuffle profile: one groupBy on cell id; candidate volume is
     ``n_probe/n_cells`` of the corpus instead of all of it.
     """
-    w_rank = Window.orderBy(id_col)
-    n_total = embeddings.count()
-    stride = max(1, n_total // n_cells)
-    cents = (
-        embeddings.withColumn("__r", F.row_number().over(w_rank) - 1)
-        .filter((F.col("__r") % stride == centroid_stride_seed) & (F.col("__r") / stride < n_cells))
-        .withColumn("cell", (F.col("__r") / stride).cast("int"))
-        .select("cell", F.col(vec_col).alias("cvec"))
-    )
-    cent_rows = cents.collect()  # n_cells rows — driver-side by design
+    cents = ivf_centroid_pick(embeddings, n_cells, id_col, vec_col, centroid_seed)
+    # n_cells rows — driver-side by design; cell index = (key, id) rank
+    cent_rows = sorted(cents.collect(), key=lambda r: (r["__key"], r["__cid"]))
+    cent_rows = [
+        {"cell": i, "cvec": r["cvec"]} for i, r in enumerate(cent_rows)
+    ]
     cent_arr = F.array(
         *[
             F.struct(
@@ -403,11 +429,25 @@ def all_pairs_similarity_blocked(
 
 
 def most_least_similar_pair(
-    embeddings: DataFrame, id_col: str = "doc_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+    id_type: str = "long",
 ) -> DataFrame:
     """A7: argmax/argmin similarity pair
-    (/root/reference/src/embedding_analyzer.py:245-259)."""
-    pairs = all_pairs_similarity(embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col)
+    (/root/reference/src/embedding_analyzer.py:245-259).
+
+    All pairs must be scored (threshold −2 keeps everything), so the pair
+    source is the blocked-matmul path — each task holds two hash-blocks and
+    runs one BLAS matmul — rather than the per-pair expression cross join
+    (the r1 version's unpruned cartesian; correct but a scale-killer). The
+    final agg is a map-side-combining max_by/min_by: the only full-table
+    traffic is one row per partition into the driver-side merge."""
+    pairs = all_pairs_similarity_blocked(
+        embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col,
+        n_blocks=n_blocks, id_type=id_type,
+    )
     return pairs.agg(
         F.max_by(F.struct("id_a", "id_b"), "similarity").alias("most_similar"),
         F.min_by(F.struct("id_a", "id_b"), "similarity").alias("least_similar"),
@@ -426,15 +466,29 @@ def head_tail_similar(
     """O5: head/tail slice by similarity
     (/root/reference/src/embedding_analyzer.py:329-333).
 
-    ``tiebreak_cols`` make the slice deterministic under equal scores."""
+    ``tiebreak_cols`` make the slice deterministic under equal scores.
+
+    Plan shape: two ``orderBy().limit(k)`` slices — each a
+    TakeOrderedAndProject (per-partition heap of k rows + driver merge) —
+    then a union deduplicated by a k-row aggregation. The r1 version ranked
+    with two un-partitioned windows, i.e. two full global sorts through a
+    single task; this form touches the full table only via the heaps."""
     tb = [F.col(c) for c in tiebreak_cols]
-    w_desc = Window.orderBy(F.desc(order_col), *tb)
-    w_asc = Window.orderBy(F.asc(order_col), *tb)
-    ranked = scored.withColumn("rn_top", F.row_number().over(w_desc)).withColumn(
-        "rn_bot", F.row_number().over(w_asc)
+    top = (
+        scored.orderBy(F.desc(order_col), *tb)
+        .limit(num_similar)
+        .withColumn("side", F.lit("similar"))
     )
-    return ranked.filter(
-        (F.col("rn_top") <= num_similar) | (F.col("rn_bot") <= num_dissimilar)
-    ).withColumn(
-        "side", F.when(F.col("rn_top") <= num_similar, "similar").otherwise("dissimilar")
-    ).drop("rn_top", "rn_bot")
+    bot = (
+        scored.orderBy(F.asc(order_col), *tb)
+        .limit(num_dissimilar)
+        .withColumn("side", F.lit("dissimilar"))
+    )
+    # a row in BOTH slices (table smaller than num_similar+num_dissimilar)
+    # must surface once, labeled 'similar' — max() works because
+    # 'similar' > 'dissimilar' lexically; the groupBy runs over ≤ 2k rows
+    return (
+        top.unionByName(bot)
+        .groupBy(*scored.columns)
+        .agg(F.max("side").alias("side"))
+    )

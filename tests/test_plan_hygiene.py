@@ -52,6 +52,41 @@ def test_topk_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
 
 
+def test_head_tail_has_no_global_window(spark):
+    """head/tail slices must plan as TakeOrderedAndProject heaps, never as
+    un-partitioned row_number windows (global single-task sorts)."""
+    plan = _plan(spark, "head_tail")
+    assert "Window" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extreme_pair_has_no_cartesian(spark):
+    """most/least-similar pair must route through the blocked-matmul path —
+    no per-pair expression cartesian."""
+    plan = _plan(spark, "extreme_pair")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
+
+
+def test_ivf_centroid_pick_is_take_ordered(spark):
+    """The IVF coarse-quantizer sample must not globally sort the corpus:
+    orderBy(lcg_key).limit(k) plans as TakeOrderedAndProject with no
+    single-partition Exchange and no Window."""
+    from ocr_spark.operators.similarity import ivf_centroid_pick
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    df = ivf_centroid_pick(emb, 16)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
+
+
 def test_media_meta_is_python_free(spark):
     """The metadata-only media query must stay on the native byte-stat path:
     no Arrow/Python stage may ship multi-KB blobs out of the JVM (the r1
