@@ -581,6 +581,34 @@ def q_frequent_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("question_id", F.round("final_score", 2).alias("final_score"))
 
 
+def q_weak_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+O4: most-missed questions ranked by priority — the reference's
+    third analytics endpoint (/root/reference/app/services/
+    weak_question_service.py:47-103)."""
+    from ocr_spark.operators.scores import weak_questions
+
+    out = weak_questions(
+        _derived_answers(spark, sf_dir), _derived_meta(spark), "u5", "EXAM", limit=10
+    )
+    return out.select("question_id", "incorrect_count", "priority")
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native vector-math surface: l2_norm, euclidean_distance and the
+    once-per-row unit_vector normalization, all JVM-side expressions."""
+    from ocr_spark.functions.vectors import euclidean_distance, l2_norm, unit_vector
+
+    emb = _emb_table(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        F.round(euclidean_distance("embedding", q), 4).alias("dist_q0"),
+        F.round(F.element_at(unit_vector("embedding"), 1), 4).alias("u1"),
+    )
+
+
 def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _tpch(spark, sf_dir, "customer")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").unionByName(
@@ -736,9 +764,12 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 bit math has no DuckDB
-    twin). Exact-copy pairs must surface at hamming 0; drifted copies at
-    small hamming."""
+    """SimHash near-dup pairs via the md5-portable hash (DuckDB recomputes
+    the identical per-word bits, so this row is fully oracle-checked; the
+    xxhash64 variant stays the faster scale default, pytest-pinned). Exact
+    copies must surface at hamming 0; drifted copies at small hamming."""
+    from ocr_spark.operators.dedup import simhash_md5_dup_pairs
+
     docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 400000).alias("doc_id"),
@@ -747,7 +778,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = docs.unionByName(near).withColumn(
         "doc_id", F.lpad(F.col("doc_id").cast("string"), 7, "0")
     )
-    return simhash_dup_pairs(un, max_hamming=6).select(
+    return simhash_md5_dup_pairs(un, max_hamming=6).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "hamming",
@@ -949,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "parts_multi_cond": q_parts_multi_cond,
         "weighted_scores": q_weighted_scores,
+        "weak_questions": q_weak_questions,
+        "vector_norms": q_vector_norms,
         "calculate_scores": q_calculate_scores,
         "best_stat": q_best_stat,
         "frequent_questions": q_frequent_questions,
@@ -1287,6 +1320,36 @@ def oracle_sql() -> dict[str, str]:
                  + correct_high * 0.2), 1) as final_score
         from per_user p join totals using (exam_type)
     """
+    sql["weak_questions"] = f"""
+        with ua as ({_DERIVED_ANSWERS_SQL}),
+        qm as ({_DERIVED_META_SQL}),
+        incorrect as (
+          select question_id, cast(count(*) as bigint) as incorrect_count
+          from ua
+          where user_id = 'u5' and exam_type = 'EXAM' and not status
+          group by question_id
+        ),
+        j as (
+          select i.question_id, i.incorrect_count,
+                 cast((case qm.difficulty when 'LOW' then 1 when 'MID' then 2 else 3 end)
+                      * (case when qm.is_mandatory then 2 else 1 end) as int) as priority
+          from incorrect i join qm using (question_id)
+        )
+        select question_id, incorrect_count, priority
+        from j
+        order by priority desc, incorrect_count desc, question_id
+        limit 10
+    """
+    sql["vector_norms"] = """
+        with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
+        select vec_id,
+               round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) as norm,
+               round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> (embedding[i]::DOUBLE - qv[i]) * (embedding[i]::DOUBLE - qv[i])))), 4) as dist_q0,
+               round(embedding[1]::DOUBLE
+                     / sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) as u1
+        from embeddings cross join q
+    """
     sql["best_stat"] = """
         with stats as (
           select 'u' || (o_custkey % 37) as user_id, 'EXAM' as exam_type,
@@ -1453,6 +1516,53 @@ def oracle_sql() -> dict[str, str]:
         select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared_chunks
         from chunks a join chunks b on a.chunk = b.chunk and a.doc_id < b.doc_id
         group by 1, 2 having count(*) >= 5
+    """
+    sql["simhash_dups"] = r"""
+        with un as (
+          select doc_id, text from documents where doc_id < 100
+          union all
+          select doc_id + 400000, text || ' zz'
+          from documents where doc_id < 100 and doc_id % 4 = 0
+        ),
+        words as (
+          select doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) as w
+          from un
+        ),
+        h as (select doc_id, md5(w) as h from words),
+        -- bit j of the 64-bit value = ((hex digit (15 - j//4)) >> (j%4)) & 1;
+        -- counter = sum of (2*bit - 1) over words (the Spark twin uses
+        -- conv(digit,16,10) — identical values for lowercase hex)
+        bitsum as (
+          select doc_id, j,
+                 sum(case when (cast(strpos('0123456789abcdef',
+                                            substring(h, 16 - j // 4, 1)) - 1 as int)
+                                >> (j % 4)) & 1 = 1
+                          then 1 else -1 end) as c
+          from h cross join range(0, 64) t(j)
+          group by doc_id, j
+        ),
+        bits as (
+          select doc_id,
+                 list(case when c > 0 then 1 else 0 end order by j) as bits
+          from bitsum group by doc_id
+        ),
+        blk as (
+          select doc_id, bits,
+                 list_transform(range(0, 4), b ->
+                   list_sum(list_transform(range(0, 16), i ->
+                     bits[b * 16 + i + 1] * (1 << i)))) as blocks
+          from bits
+        ),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 cast(list_sum(list_transform(range(1, 65), i ->
+                   case when a.bits[i] <> b.bits[i] then 1 else 0 end)) as int) as hamming
+          from blk a join blk b
+            on a.doc_id < b.doc_id
+           and len(list_filter(range(1, 5), k -> a.blocks[k] = b.blocks[k])) > 0
+        )
+        select id_a, id_b, hamming from pairs where hamming <= 6
     """
     sql["ann_topk"] = """
         with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),

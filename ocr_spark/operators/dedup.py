@@ -326,3 +326,92 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_bits_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(id, bits:array<int>[64], block_0..block_{n-1}:int) — the ORACLE-
+    PORTABLE SimHash: per-word 64-bit hash = first 16 hex chars of md5(word),
+    a function both Spark and DuckDB evaluate identically (unlike xxhash64,
+    which only Spark has — :func:`simhash64` stays the faster scale default).
+
+    Scale shape mirrors :func:`minhash_signatures`: words are EXPLODED and
+    md5 is a materialized column, so each word hashes once; the 64 bit
+    counters come from map-side-combined conditional sums (the shuffle
+    carries 64 ints per doc); bit tests are native shift/mask over the hex
+    digits — no HOF-lambda re-evaluation, no Python."""
+    width = 64 // n_blocks
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+    )
+    hexed = exploded.select("id", F.md5("w").alias("h"))
+
+    def _bit(j: int) -> Column:
+        # bit j of the 64-bit value = hex digit (15 - j//4) from the left,
+        # shifted by j%4 — conv() on one hex char; DuckDB mirrors it with
+        # strpos('0123456789abcdef', digit) - 1
+        digit = F.substring("h", 16 - j // 4, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        return F.shiftright(val, j % 4).bitwiseAND(F.lit(1))
+
+    counters = hexed.groupBy("id").agg(
+        *[
+            F.sum(F.when(_bit(j) == 1, 1).otherwise(-1)).alias(f"__c{j}")
+            for j in range(64)
+        ]
+    )
+    bits = F.array(
+        *[F.when(F.col(f"__c{j}") > 0, 1).otherwise(0) for j in range(64)]
+    )
+    out = counters.select("id", bits.alias("bits"))
+    for b in range(n_blocks):
+        block_val = None
+        for i in range(width):
+            term = F.element_at(F.col("bits"), b * width + i + 1) * F.lit(1 << i)
+            block_val = term if block_val is None else block_val + term
+        out = out.withColumn(f"block_{b}", block_val)
+    return out
+
+
+def simhash_md5_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with the md5-portable hash: candidates share at
+    least one 16-bit block (same pigeonhole guarantee as
+    :func:`simhash_candidates` — ≤ n_blocks−1 differing blocks ⇒ some block
+    equal whenever hamming < n_blocks); Hamming verified on the bit arrays.
+    One shuffle on (block, block_val); never all-pairs."""
+    base = simhash_bits_md5(df, text_col, id_col, n_blocks)
+    blocks = base.select(
+        "id",
+        "bits",
+        F.posexplode(
+            F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "block", "block_val")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "block", "block_val")
+    cands = (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda d: d
+        )
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

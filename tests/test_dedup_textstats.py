@@ -78,6 +78,38 @@ def test_simhash_near_dup(spark, docs_df):
     assert d.select(hamming64("x", "y").alias("h")).collect()[0].h == 2
 
 
+def test_simhash_md5_variant_matches_python_oracle(spark, docs_df):
+    """The oracle-portable md5 SimHash must (a) agree with a pure-Python
+    reimplementation of the bit math, (b) behave like the xxhash64 variant
+    structurally: exact dup at hamming 0, near dup close, unrelated apart."""
+    import hashlib
+    import re as _re
+
+    from ocr_spark.operators.dedup import simhash_bits_md5, simhash_md5_dup_pairs
+
+    def py_bits(text: str) -> list[int]:
+        words = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        counters = [0] * 64
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()[:16]
+            v = int(h, 16)
+            for j in range(64):
+                counters[j] += 1 if (v >> j) & 1 else -1
+        return [1 if c > 0 else 0 for c in counters]
+
+    got = {r.id: list(r.bits) for r in simhash_bits_md5(docs_df).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_bits(text), doc_id
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_md5_dup_pairs(docs_df, max_hamming=12).collect()
+    }
+    assert ("a1", "a2") in pairs and pairs[("a1", "a2")] == 0
+    assert ("a1", "a3") in pairs
+    assert ("b1", "b2") not in pairs
+
+
 def test_token_counts(spark):
     rows = [("x", "hello world, this is 42 tokens-ish"), ("y", ""), ("z", None), ("w", "  padded   text  ")]
     df = spark.createDataFrame(rows, "doc_id string, text string")
