@@ -191,6 +191,21 @@ _FIG_TEXT_SQL = (
     "((doc_id % 2) + 1) || ']'"
 )
 
+_HTML_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit('<nav><a href="#">Home</a> <a href="#">About</a> <a href="#">Contact</a></nav><h1>'),
+    F.col("source"), F.lit(" document "), F.col("doc_id").cast("string"),
+    F.lit(" heading line</h1><p>"), F.col("text"),
+    F.lit('</p><p>tiny</p><div>More <a href="#">link one</a> <a href="#">link two</a> txt</div>'
+          '<footer><a href="#">Privacy</a> | <a href="#">Terms</a></footer>'),
+)
+
+_HTML_SQL = (
+    "'<nav><a href=\"#\">Home</a> <a href=\"#\">About</a> <a href=\"#\">Contact</a></nav><h1>' "
+    "|| source || ' document ' || doc_id || ' heading line</h1><p>' || text || "
+    "'</p><p>tiny</p><div>More <a href=\"#\">link one</a> <a href=\"#\">link two</a> txt</div>"
+    "<footer><a href=\"#\">Privacy</a> | <a href=\"#\">Terms</a></footer>'"
+)
+
 # word-level span synthesis shared by reconstruction / numbering / grammar
 # queries: kind is a pure function of (word, position).
 _SPAN_KIND_SQL = (
@@ -928,6 +943,88 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule boilerplate strip: synthesized HTML (nav/heading/content/
+    short/link-farm/footer blocks) → density-classified main content.
+    Expected survivors: the heading and the document body."""
+    from ocr_spark.operators.boilerplate import strip_boilerplate
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", _HTML_SPARK().alias("html"))
+    out = strip_boilerplate(docs)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_content",
+        F.length("main_text").alias("main_len"),
+        F.substring("main_text", 1, 60).alias("main_head"),
+    )
+
+
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level density features (the DOM-scoring half of the north
+    rule), value-exact per block."""
+    from ocr_spark.operators.boilerplate import classify_blocks, html_blocks
+
+    docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+        "doc_id", _HTML_SPARK().alias("html")
+    )
+    out = classify_blocks(html_blocks(docs))
+    return out.select(
+        "doc_id",
+        "block_no",
+        "text_chars",
+        "n_words",
+        "n_tags",
+        "link_chars",
+        F.round("link_density", 4).alias("link_density"),
+        F.round("text_density", 4).alias("text_density"),
+        "is_content",
+    )
+
+
+def _layout_tokens(docs: DataFrame) -> DataFrame:
+    """Deterministic page geometry planted on the word stream: words group
+    into 12-token blocks, alternating between two columns; 3 lines of 4
+    tokens per block; 64px vertical gaps between blocks vs 12px between
+    lines. The layout operator must recover exactly these blocks from the
+    coordinates alone."""
+    w = _words_with_pos(docs)
+    p0 = F.col("pos") - 1
+    blk = F.floor(p0 / 12)
+    line = F.floor((p0 % 12) / 4)
+    slot = p0 % 4
+    return w.select(
+        "doc_id",
+        ((blk % 2) * 400 + slot * 50).cast("double").alias("x"),
+        (F.floor(blk / 2) * 100 + line * 12).cast("double").alias("y"),
+        F.col("word").alias("token"),
+    )
+
+
+def q_layout_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule layout detection: geometric block clustering + reading
+    order; the oracle derives ground-truth regions from the generative
+    arithmetic, so a pass proves the clustering recovers the planted
+    layout."""
+    from ocr_spark.operators.layout import detect_regions
+
+    docs = _docs_table(spark, sf_dir)
+    out = detect_regions(_layout_tokens(docs), column_width=400.0, gap_threshold=30.0)
+    return out.select(
+        "doc_id", "column", "region_no", "y0", "y1", "x0", "x1",
+        "n_tokens", "text", "reading_rank",
+    )
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reading-order reassembly: column-major region concatenation."""
+    from ocr_spark.operators.layout import assemble_reading_order, detect_regions
+
+    docs = _docs_table(spark, sf_dir)
+    regions = detect_regions(_layout_tokens(docs), column_width=400.0, gap_threshold=30.0)
+    return assemble_reading_order(regions).select("doc_id", "content", "n_regions")
+
+
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction pipeline over synthesized spans; the oracle
     re-derives per-doc span counts + kind distribution (span *count* is an
@@ -1005,6 +1102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extreme_pair": q_extreme_pair,
         "event_windows": q_event_windows,
         "ivf_topk": q_ivf_topk,
+        "html_boilerplate": q_html_boilerplate,
+        "html_blocks": q_html_blocks,
+        "layout_regions": q_layout_regions,
+        "reading_order": q_reading_order,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
     }
@@ -1786,6 +1887,117 @@ def oracle_sql() -> dict[str, str]:
         from grid g
         join norms n using (doc_id)
         left join counts c on c.doc_id = g.doc_id and c.bucket = g.bucket
+    """
+    # --- north-rule operators: boilerplate strip + layout regions ----------
+    # Regex semantics verified identical between Java regex and RE2 for
+    # these patterns (block-tag split, tag strip, lazy anchor extraction).
+    _BLOCK_RE = (
+        r"(?i)</?(?:p|div|nav|header|footer|h[1-6]|li|ul|ol|article|section|"
+        r"aside|table|tr|td|br)\b[^>]*>"
+    )
+    _FEAT_CTE = f"""
+        bl as (select doc_id, string_split_regex(html, '{_BLOCK_RE}') as arr from base),
+        blocks as (
+          select doc_id, generate_subscripts(arr, 1) - 1 as block_no,
+                 unnest(arr) as raw
+          from bl
+        ),
+        feat as (
+          select doc_id, cast(block_no as int) as block_no,
+                 trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
+                                     '\\s+', ' ', 'g')) as text,
+                 cast(coalesce(list_sum(list_transform(
+                        regexp_extract_all(raw, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                        a -> length(trim(regexp_replace(regexp_replace(a,
+                               '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))), 0)
+                      as int) as link_chars,
+                 cast(len(regexp_extract_all(raw, '(?s)<[^>]*>')) as int) as n_tags
+          from blocks
+        ),
+        scored as (
+          select doc_id, block_no, text,
+                 cast(length(text) as int) as text_chars,
+                 cast(case when text = '' then 0
+                      else len(string_split(text, ' ')) end as int) as n_words,
+                 n_tags, link_chars,
+                 round(link_chars / greatest(length(text), 1), 6) as ld6,
+                 round(length(text) / (1 + n_tags), 6) as td6
+          from feat
+        ),
+        cls as (
+          select *, (text_chars >= 25 and ld6 < 1.0/3.0) as is_content
+          from scored
+        )
+    """
+    sql["html_blocks"] = f"""
+        with base as (
+          select doc_id, ({_HTML_SQL}) as html from documents where doc_id < 30
+        ),
+        {_FEAT_CTE}
+        select doc_id, block_no, text_chars, n_words, n_tags, link_chars,
+               round(ld6, 4) as link_density, round(td6, 4) as text_density,
+               is_content
+        from cls
+    """
+    sql["html_boilerplate"] = f"""
+        with base as (
+          select doc_id, ({_HTML_SQL}) as html from documents
+        ),
+        {_FEAT_CTE}
+        select doc_id,
+               count(*) as n_blocks,
+               cast(sum(case when is_content then 1 else 0 end) as int) as n_content,
+               cast(length(coalesce(string_agg(case when is_content then text end,
+                      chr(10) || chr(10) order by block_no), '')) as int) as main_len,
+               substring(coalesce(string_agg(case when is_content then text end,
+                      chr(10) || chr(10) order by block_no), ''), 1, 60) as main_head
+        from cls group by doc_id
+    """
+    _LAYOUT_REG_CTE = f"""
+        {_WORDS_CTE},
+        tok as (
+          select doc_id, pos, word,
+                 (pos - 1) // 12 as blk,
+                 ((pos - 1) // 12) % 2 as col,
+                 ((pos - 1) % 12) // 4 as line,
+                 (pos - 1) % 4 as slot
+          from words
+        ),
+        reg as (
+          select doc_id, blk, col,
+                 cast((blk // 2) * 100 as double) as y0,
+                 cast((blk // 2) * 100 + max(line) * 12 as double) as y1,
+                 cast(col * 400 as double) as x0,
+                 cast(col * 400 + max(slot) * 50 as double) as x1,
+                 count(*) as n_tokens,
+                 string_agg(word, ' ' order by pos) as text
+          from tok group by doc_id, blk, col
+        ),
+        numbered as (
+          select doc_id, cast(col as int) as "column",
+                 cast(row_number() over (partition by doc_id, col order by blk)
+                      as int) as region_no,
+                 y0, y1, x0, x1, n_tokens, text,
+                 cast(row_number() over (partition by doc_id order by col, blk)
+                      as int) as reading_rank
+          from reg
+        )
+    """
+    # ground truth derived from the GENERATIVE arithmetic (blk = (pos-1)//12)
+    # — independent of the operator's geometric clustering, so a pass proves
+    # the clustering recovers the planted blocks from coordinates alone
+    sql["layout_regions"] = f"""
+        {_LAYOUT_REG_CTE}
+        select doc_id, "column", region_no, y0, y1, x0, x1, n_tokens, text,
+               reading_rank
+        from numbered
+    """
+    sql["reading_order"] = f"""
+        {_LAYOUT_REG_CTE}
+        select doc_id,
+               string_agg(text, chr(10) || chr(10) order by reading_rank) as content,
+               count(*) as n_regions
+        from numbered group by doc_id
     """
     # The extraction pipeline rewrites span TEXT (math/layout chains) but —
     # verified against the corpus: no word matches a figure-ref pattern, so no
