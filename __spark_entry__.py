@@ -943,6 +943,37 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 page-split plumbing: synthesized form-feed 'PDF' blobs (one per
+    doc, pages of 10 words) → mapInPandas page splitter → reference-scheme
+    page ids; the oracle re-derives pages from the same word arithmetic, so
+    the fan-out (one file row → many page rows) is value-checked."""
+    from ocr_spark.sources.pdf import pages_to_docs, split_pages
+
+    docs = _docs_table(spark, sf_dir)
+    words = F.split("text", " ")
+    n = F.size(words)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(10.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    pdf = F.encode(F.array_join(chunks, "\f"), "utf-8")
+    files = docs.select(
+        F.concat(
+            F.lit("mem://"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"), F.lit(".pdf"),
+        ).alias("path"),
+        pdf.alias("content"),
+    )
+    pages = pages_to_docs(split_pages(files))
+    return pages.select(
+        "doc_id",
+        "page_no",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("page_chars"),
+    )
+
+
 def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule boilerplate strip: synthesized HTML (nav/heading/content/
     short/link-farm/footer blocks) → density-classified main content.
@@ -1102,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extreme_pair": q_extreme_pair,
         "event_windows": q_event_windows,
         "ivf_topk": q_ivf_topk,
+        "pdf_pages": q_pdf_pages,
         "html_boilerplate": q_html_boilerplate,
         "html_blocks": q_html_blocks,
         "layout_regions": q_layout_regions,
@@ -1887,6 +1919,19 @@ def oracle_sql() -> dict[str, str]:
         from grid g
         join norms n using (doc_id)
         left join counts c on c.doc_id = g.doc_id and c.bucket = g.bucket
+    """
+    sql["pdf_pages"] = f"""
+        {_WORDS_CTE}
+        select doc_id || '_page_' || lpad(cast(page_no as varchar), 3, '0') as doc_id,
+               page_no, n_words, page_chars
+        from (
+          select doc_id,
+                 cast((pos - 1) // 10 + 1 as int) as page_no,
+                 cast(count(*) as int) as n_words,
+                 cast(sum(length(word)) + count(*) - 1 as int) as page_chars
+          from words
+          group by doc_id, (pos - 1) // 10
+        )
     """
     # --- north-rule operators: boilerplate strip + layout regions ----------
     # Regex semantics verified identical between Java regex and RE2 for

@@ -93,6 +93,45 @@ class Catalog:
         shutil.rmtree(old, ignore_errors=True)
 
     # ------------------------------------------------------------------
+    # snapshots (S11 — reference pg_dump/restore, README.md:244-254)
+    # ------------------------------------------------------------------
+    def snapshot(self, name: str, snapshot_name: str) -> str:
+        """CTAS-style snapshot of a table's CURRENT contents. Re-snapshotting
+        the same name overwrites (idempotent). On Iceberg this becomes a
+        zero-copy tag/branch; here it is a parquet copy through Spark."""
+        snap = f"__snapshots__/{name}/{snapshot_name}"
+        os.makedirs(os.path.dirname(self.path(snap)), exist_ok=True)
+        self.read(name).write.mode("overwrite").parquet(self.path(snap))
+        return snap
+
+    def list_snapshots(self, name: str) -> list[str]:
+        d = self.path(f"__snapshots__/{name}")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            s for s in os.listdir(d) if os.path.isdir(os.path.join(d, s))
+        )
+
+    def restore(self, name: str, snapshot_name: str) -> None:
+        """Restore a table from a snapshot, atomically: the snapshot is
+        materialized to a staging dir, then swapped in with two renames
+        (same crash contract as merge_upsert). The snapshot itself is
+        untouched, so restore is repeatable."""
+        snap = f"__snapshots__/{name}/{snapshot_name}"
+        if not self.exists(snap):
+            raise FileNotFoundError(f"no snapshot {snapshot_name!r} for table {name!r}")
+        target = self.path(name)
+        staging = target + ".__staging__" + uuid.uuid4().hex[:8]
+        self.read(snap).write.mode("overwrite").parquet(staging)
+        if os.path.isdir(target):
+            old = target + ".__old__" + uuid.uuid4().hex[:8]
+            os.rename(target, old)
+            os.rename(staging, target)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(staging, target)
+
+    # ------------------------------------------------------------------
     # manifest
     # ------------------------------------------------------------------
     def manifest(self) -> DataFrame:

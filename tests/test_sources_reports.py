@@ -1,0 +1,153 @@
+"""Unit tests: S1 binaryFile+page-split plumbing, S10 report renderer
+(byte-exact golden), S11 catalog snapshot/restore."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.pdf import (
+    PAGE_SEP,
+    pages_to_docs,
+    scan_binary_files,
+    split_pages,
+)
+
+
+# ---------------------------------------------------------------------------
+# S1 — binaryFile scan + page splitter
+# ---------------------------------------------------------------------------
+def test_binaryfile_scan_and_split(spark, tmp_path):
+    (tmp_path / "examA.pdf").write_bytes(
+        b"page one text" + PAGE_SEP + b"page two" + PAGE_SEP + b"p3"
+    )
+    (tmp_path / "examB.pdf").write_bytes(b"single page only")
+    (tmp_path / "notes.txt").write_bytes(b"ignored")
+
+    files = scan_binary_files(spark, str(tmp_path), glob="*.pdf")
+    assert files.count() == 2
+    assert set(files.columns) >= {"path", "content", "length"}
+
+    docs = pages_to_docs(split_pages(files)).orderBy("doc_id").collect()
+    ids = [r.doc_id for r in docs]
+    assert ids == [
+        "examA_page_001", "examA_page_002", "examA_page_003", "examB_page_001",
+    ]
+    assert [r.text for r in docs] == [
+        "page one text", "page two", "p3", "single page only",
+    ]
+    assert [r.page_no for r in docs] == [1, 2, 3, 1]
+    assert docs[0].n_bytes == len(b"page one text")
+
+
+def test_split_pages_fanout_skew_shape(spark):
+    """One 500-page file and one 1-page file in the same batch: the
+    mapInPandas fan-out must emit 501 rows with exact per-page bytes."""
+    big = PAGE_SEP.join(b"x" * (i % 7 + 1) for i in range(500))
+    df = spark.createDataFrame(
+        [("m://big.pdf", bytearray(big)), ("m://one.pdf", bytearray(b"solo"))],
+        "path string, content binary",
+    )
+    pages = split_pages(df)
+    assert pages.count() == 501
+    got = {
+        (r.path, r.page_no): r.n_bytes for r in pages.collect()
+    }
+    assert got[("m://big.pdf", 1)] == 1
+    assert got[("m://big.pdf", 500)] == 499 % 7 + 1
+    assert got[("m://one.pdf", 1)] == 4
+
+
+# ---------------------------------------------------------------------------
+# S10 — comparison report (byte-exact golden)
+# ---------------------------------------------------------------------------
+GOLDEN_REPORT = (
+    "# Q001 の類似・非類似問題比較\n\n"
+    "## ベース問題\n\n"
+    "base question body\n\n"
+    "## 類似問題\n\n"
+    "### Q007 (距離: 0.1200)\n\n"
+    "similar one\n\n"
+    "### Q003 (距離: 0.3456)\n\n"
+    "similar two\n\n"
+    "## 非類似問題\n\n"
+    "### Q099 (距離: 1.9000)\n\n"
+    "far away\n\n"
+)
+
+
+def test_report_golden_bytes():
+    from ocr_spark.reports import render_comparison_report
+
+    md = render_comparison_report(
+        "Q001",
+        "base question body",
+        [("Q007", 0.12, "similar one"), ("Q003", 0.34561, "similar two")],
+        [("Q099", 1.9, "far away")],
+    )
+    assert md == GOLDEN_REPORT
+
+
+def test_report_truncates_to_max_samples():
+    from ocr_spark.reports import render_comparison_report
+
+    md = render_comparison_report(
+        "B", "c",
+        [(f"S{i}", 0.1 * i, "x") for i in range(10)],
+        [], max_samples=3,
+    )
+    assert md.count("### S") == 3
+
+
+def test_report_from_head_tail_rows(spark):
+    from ocr_spark.reports import report_from_head_tail
+
+    rows = spark.createDataFrame(
+        [(7, 0.9, "similar"), (3, 0.8, "similar"), (99, -0.5, "dissimilar")],
+        "doc_id long, similarity double, side string",
+    ).collect()
+    md = report_from_head_tail(
+        rows, "BASE", "base text", content_by_id={7: "seven"}
+    )
+    assert "### 7 (距離: 0.1000)" in md
+    assert "seven" in md
+    # similar section ordered by similarity desc; dissimilar present
+    assert md.index("### 7") < md.index("### 3") < md.index("### 99")
+    assert "### 99 (距離: 1.5000)" in md
+
+
+# ---------------------------------------------------------------------------
+# S11 — snapshot / restore
+# ---------------------------------------------------------------------------
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    from ocr_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t0 = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    cat.write(t0, "scores")
+    cat.snapshot("scores", "v1")
+
+    # mutate: upsert changes v for k=0..2 and adds k=10
+    updates = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 100), (10, 100)], "k long, v long"
+    )
+    cat.merge_upsert(updates, "scores", ["k"])
+    assert cat.read("scores").count() == 6
+    assert cat.read("scores").filter("v = 100").count() == 4
+
+    # restore brings back the exact pre-mutation contents
+    cat.restore("scores", "v1")
+    got = sorted((r.k, r.v) for r in cat.read("scores").collect())
+    assert got == [(i, 2 * i) for i in range(5)]
+
+    # restore is repeatable and snapshots enumerable
+    cat.restore("scores", "v1")
+    assert sorted((r.k, r.v) for r in cat.read("scores").collect()) == got
+    assert cat.list_snapshots("scores") == ["v1"]
+
+    # re-snapshot same name is an idempotent overwrite
+    cat.snapshot("scores", "v1")
+    assert cat.list_snapshots("scores") == ["v1"]
+
+    with pytest.raises(FileNotFoundError):
+        cat.restore("scores", "nope")
