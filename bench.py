@@ -64,6 +64,19 @@ HEADLINE = [
     "calculate_scores",
     "topk_per_group",
     "embeddings_pipeline",
+    # r2 additions: simhash (md5-portable), north-rule boilerplate/layout,
+    # pdf page fan-out, IVF + extreme-pair + head/tail (post-deglobalization),
+    # weak-question analytics, native vector math
+    "simhash_dups",
+    "html_boilerplate",
+    "layout_regions",
+    "reading_order",
+    "pdf_pages",
+    "ivf_topk",
+    "extreme_pair",
+    "head_tail",
+    "weak_questions",
+    "vector_norms",
 ]
 
 

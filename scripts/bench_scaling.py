@@ -27,7 +27,10 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
-from ocr_spark.operators.extract import extract_docs
+from ocr_spark.operators.extract import extract_docs, render_markdown
+from ocr_spark.operators.dedup import minhash_lsh_candidates
+from ocr_spark.operators.embed import make_embedding_udf
+from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1])
@@ -42,19 +45,40 @@ docs = spark.read.parquet(corpus)
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
-force(extract_docs(docs))  # warm-up: codegen + JIT
-times = []
-for _ in range(5):
-    t0 = time.perf_counter()
-    force(extract_docs(docs))
-    times.append(time.perf_counter() - t0)
+# non-extraction scale paths measured alongside the headline job:
+# dedup (minhash-LSH candidate generation over rendered text) and
+# ANN (random-projection bucket top-k over deterministic embeddings)
+texts = render_markdown(extract_docs(docs)).select("doc_id", F.col("content").alias("text"))
+emb_udf = make_embedding_udf(64)
+emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
+qs = emb.limit(3).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+
+JOBS = {{
+    "extract": lambda: extract_docs(docs),
+    "dedup": lambda: minhash_lsh_candidates(texts, n_hashes=32, n_bands=8),
+    "ann": lambda: ann_topk_per_query(emb, qs, dim=64, k=10, n_planes=8, n_bands=2,
+                                      id_col="doc_id"),
+}}
+n_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
+out = {{"cores": cores}}
+for name, mk in JOBS.items():
+    force(mk())  # warm-up: codegen + JIT
+    times = []
+    reps = n_repeats if name == "extract" else max(2, n_repeats - 2)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(mk())
+        times.append(time.perf_counter() - t0)
+    out[name] = {{"sec": round(min(times), 3),
+                  "all_runs": [round(t, 3) for t in times]}}
 n_docs = docs.count()
 n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
-best = min(times)
-print(json.dumps({{"cores": cores, "sec": round(best, 3),
-                   "all_runs": [round(t, 3) for t in times],
-                   "n_docs": n_docs, "n_spans": int(n_spans),
-                   "docs_per_sec": round(n_docs / best, 1)}}))
+out["n_docs"] = n_docs
+out["n_spans"] = int(n_spans)
+out["sec"] = out["extract"]["sec"]
+out["all_runs"] = out["extract"]["all_runs"]
+out["docs_per_sec"] = round(n_docs / out["extract"]["sec"], 1)
+print(json.dumps(out))
 """
 
 
@@ -89,9 +113,14 @@ def main() -> None:
     low = run_level(n_cores, corpus)
     high = run_level(4 * n_cores, corpus)
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / 4.0
+    job_eff = {
+        j: round((low[j]["sec"] / high[j]["sec"]) / 4.0, 3)
+        for j in ("extract", "dedup", "ann")
+    }
     result = {
         "n": low, "4n": high,
         "scaling_efficiency": round(eff, 3),
+        "job_efficiency": job_eff,
         "passes_north_rule": eff >= 0.8,
     }
     print(json.dumps(result))
@@ -117,7 +146,15 @@ forced via noop sink; best of 5 timed runs after a full warm-up pass.
 
 **Scaling efficiency (tp_4N / tp_N) / 4 = {eff:.3f}** — {"PASSES" if eff >= 0.8 else "FAILS"} the >=0.8 requirement.
 
-All runs (sec): local[{low["cores"]}] {low["all_runs"]}, local[{high["cores"]}] {high["all_runs"]}.
+Non-extraction scale paths, same protocol (best-of-runs, warmed):
+
+| job | local[{low["cores"]}] sec | local[{high["cores"]}] sec | efficiency |
+|---|---|---|---|
+| minhash-LSH dedup candidates | {low["dedup"]["sec"]} | {high["dedup"]["sec"]} | {job_eff["dedup"]} |
+| ANN top-k (random projection) | {low["ann"]["sec"]} | {high["ann"]["sec"]} | {job_eff["ann"]} |
+
+All runs (sec): local[{low["cores"]}] {low["all_runs"]}, local[{high["cores"]}] {high["all_runs"]};
+dedup {low["dedup"]["all_runs"]} vs {high["dedup"]["all_runs"]}; ann {low["ann"]["all_runs"]} vs {high["ann"]["all_runs"]}.
 
 Notes
 -----

@@ -87,6 +87,17 @@ def test_ivf_centroid_pick_is_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan, plan[:1500]
 
 
+def test_allpairs_norms_stay_below_the_join(spark):
+    """Pre-normalization must survive optimization: exactly one SQRT per
+    side, both BELOW the join — none in the pair-level filter (which would
+    mean O(n²) norm recomputation)."""
+    df = entry_mod.queries()["allpairs_label_counts"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    assert plan.count("SQRT") == 2, plan[:1200]
+    assert plan[:join_pos].count("SQRT") == 0  # nothing pair-level
+
+
 def test_media_meta_is_python_free(spark):
     """The metadata-only media query must stay on the native byte-stat path:
     no Arrow/Python stage may ship multi-KB blobs out of the JVM (the r1
