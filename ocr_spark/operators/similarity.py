@@ -125,23 +125,8 @@ def _lcg_component(seed: int, plane: int, i: "F.Column") -> "F.Column":
     return v.cast("double") / float(2**31) - 0.5
 
 
-def random_projection_buckets(
-    embeddings: DataFrame,
-    dim: int,
-    n_planes: int = 16,
-    seed: int = 42,
-    vec_col: str = "embedding",
-    out_col: str = "bucket",
-) -> DataFrame:
-    """SimHash-style signed random-projection bucket id, computed natively.
-
-    Hyperplanes are deterministic LCG-derived values — no numpy, no broadcast
-    variable, so the same expression works identically on any cluster size
-    AND is reproducible in plain SQL for oracle checks. Summation over
-    components is left-to-right in both engines, so the double-precision
-    projection (and therefore the sign bit) is bit-identical.
-    """
-    vec = F.col(vec_col)
+def _bucket_column(vec: "F.Column", dim: int, n_planes: int, seed: int) -> "F.Column":
+    """Signed random-projection bucket id of one vector as a Column."""
     bits = []
 
     def _term(plane: int):
@@ -159,7 +144,82 @@ def random_projection_buckets(
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return embeddings.withColumn(out_col, bucket)
+    return bucket
+
+
+def random_projection_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """SimHash-style signed random-projection bucket id, computed natively.
+
+    Hyperplanes are deterministic LCG-derived values — no numpy, no broadcast
+    variable, so the same expression works identically on any cluster size
+    AND is reproducible in plain SQL for oracle checks. Summation over
+    components is left-to-right in both engines, so the double-precision
+    projection (and therefore the sign bit) is bit-identical.
+    """
+    return embeddings.withColumn(
+        out_col, _bucket_column(F.col(vec_col), dim, n_planes, seed)
+    )
+
+
+def band_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, band, bucket) — ALL bands' buckets from ONE scan.
+
+    Scale/codegen shape (same lesson as ``dedup.minhash_signatures``):
+    higher-order array functions are interpreted, never codegen'd, so the
+    per-row ``aggregate(zip_with(...))`` form pays Catalyst eval overhead on
+    every one of the n_bands×n_planes×dim terms (measured ~1.7 ms/row at
+    dim=64). Here the vector EXPLODES once and every (band, plane) partial
+    product is a plain scalar ``sum`` aggregate — whole-stage codegen
+    HashAggregate with map-side combine; the shuffle carries
+    n_bands×n_planes doubles per id. A row's elements stay contiguous in
+    one task, so each sum accumulates left-to-right exactly like the
+    sequential fold — the double-precision projections (and sign bits) are
+    bit-identical to :func:`random_projection_buckets` and to the SQL
+    oracles (band b = seed + b*7919).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.posexplode(F.col(vec_col)).alias("__i", "__x"),
+    )
+    x = F.col("__x").cast("double")
+    i = F.col("__i")
+    projs = ex.groupBy("__id").agg(
+        F.first("__vec").alias("__vec"),
+        *[
+            F.sum(x * _lcg_component(seed + b * 7919, p, i)).alias(f"__pr_{b}_{p}")
+            for b in range(n_bands)
+            for p in range(n_planes)
+        ],
+    )
+    def _bucket_of(b: int) -> "F.Column":
+        out = None
+        for p in range(n_planes):
+            bit = F.when(F.col(f"__pr_{b}_{p}") >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ) * F.lit(2**p)
+            out = bit if out is None else out + bit
+        return out
+
+    buckets = F.array(*[_bucket_of(b) for b in range(n_bands)])
+    return projs.select(
+        "__id", "__vec", F.posexplode(buckets).alias("band", "bucket")
+    )
 
 
 def ann_topk_per_query(
@@ -182,21 +242,18 @@ def ann_topk_per_query(
     (/root/reference/src/db_utils.py:104-107): the bucket equi-join prunes
     the O(n_queries x n_vectors) cross join to per-bucket locality — one
     shuffle on (band, bucket) instead of a broadcast of everything. Recall
-    is tunable via n_bands (independent plane sets).
+    is tunable via n_bands (independent plane sets). All bands' buckets come
+    from ONE projection per side (:func:`band_buckets`), so the corpus scans
+    once regardless of n_bands (the r1 version scanned + joined per band).
     """
-    cand = None
-    for band in range(n_bands):
-        bseed = seed + band * 7919
-        e_b = random_projection_buckets(
-            embeddings, dim, n_planes=n_planes, seed=bseed, vec_col=vec_col
-        ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), "bucket")
-        q_b = random_projection_buckets(
-            queries, dim, n_planes=n_planes, seed=bseed, vec_col=query_vec_col
-        ).select(
-            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec"), "bucket"
-        )
-        pairs = e_b.join(q_b, "bucket").drop("bucket")
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    e_b = band_buckets(embeddings, dim, n_planes, n_bands, seed, id_col, vec_col)
+    q_b = band_buckets(
+        queries, dim, n_planes, n_bands, seed, query_id_col, query_vec_col
+    ).select(
+        F.col("__id").alias("__qid"), F.col("__vec").alias("__qvec"),
+        "band", "bucket",
+    )
+    cand = e_b.join(q_b, ["band", "bucket"]).drop("band", "bucket")
     rescored = (
         cand.dropDuplicates(["__qid", "__id"])
         .filter(F.col("__id") != F.col("__qid"))
@@ -228,16 +285,16 @@ def lsh_bucket_pairs(
     """ANN candidate generation: pairs sharing ≥1 random-projection band
     bucket, exact-cosine rescored. Recall grows with ``n_bands``; each band is
     an independent plane set. The bucket join replaces the O(n²) cross join
-    with per-bucket locality (shuffle on bucket id)."""
-    cands = None
-    for band in range(n_bands):
-        bucketed = random_projection_buckets(
-            embeddings, dim, n_planes=n_planes, seed=seed + band * 7919, vec_col=vec_col
-        ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket")
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-        cands = pairs if cands is None else cands.unionByName(pairs)
+    with per-bucket locality (shuffle on (band, bucket)); all bands bucket in
+    ONE scan via :func:`band_buckets`."""
+    bucketed = band_buckets(embeddings, dim, n_planes, n_bands, seed, id_col, vec_col)
+    a = bucketed.select(
+        F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "band", "bucket"
+    )
+    b = bucketed.select(
+        F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "band", "bucket"
+    )
+    cands = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         cands.dropDuplicates(["id_a", "id_b"])
         .withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
