@@ -383,6 +383,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component duplicate clustering (min-label propagation):
+    chain edges planted on doc ids (i—i+1e5—i+2e5 for i%7==0, plus
+    i—i+3e5 for i%5==0) must resolve TRANSITIVELY to the smallest reachable
+    id; the oracle recomputes components with a recursive CTE."""
+    from ocr_spark.operators.dedup import dup_clusters
+
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 7 == 0).select(d.alias("id_a"), (d + 100000).alias("id_b"))
+    e2 = docs.filter(d % 7 == 0).select(
+        (d + 100000).alias("id_a"), (d + 200000).alias("id_b")
+    )
+    e3 = docs.filter(d % 5 == 0).select(d.alias("id_a"), (d + 300000).alias("id_b"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    return dup_clusters(edges, nodes=docs, id_col="doc_id")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_table(spark, sf_dir)
     return docs.select(
@@ -1094,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "problems_grammar": q_problems_grammar,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
         "lang_detect": q_lang_detect,
         "quality_score": q_quality_score,
@@ -1265,6 +1284,24 @@ def oracle_sql() -> dict[str, str]:
         from sh a join sh b on a.doc_id < b.doc_id
         where cast(len(list_intersect(a.shingles, b.shingles)) as double)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """
+    sql["dedup_clusters"] = """
+        with recursive base as (select doc_id from documents),
+        edges as (
+          select doc_id as a, doc_id + 100000 as b from base where doc_id % 7 = 0
+          union all
+          select doc_id + 100000, doc_id + 200000 from base where doc_id % 7 = 0
+          union all
+          select doc_id, doc_id + 300000 from base where doc_id % 5 = 0
+        ),
+        sym as (select a, b from edges union select b as a, a as b from edges),
+        nodes as (select doc_id as id from base union select a as id from sym),
+        r(id, v) as (
+          select id, id from nodes
+          union
+          select r.id, s.b from r join sym s on s.a = r.v
+        )
+        select id as doc_id, min(v) as cluster from r group by id
     """
     sql["token_stats"] = r"""
         select doc_id,

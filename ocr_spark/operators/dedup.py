@@ -185,7 +185,8 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup removal: LSH candidates → exact Jaccard ≥ threshold →
     drop the larger id of each duplicate pair (greedy single-pass; for full
-    connected-component clustering see ``dup_clusters``)."""
+    connected-component clustering see :func:`dup_clusters` /
+    :func:`minhash_dedup_clustered`)."""
     dups = jaccard_pairs(
         df,
         minhash_lsh_candidates(df, text_col, id_col, k, n_hashes, n_bands, seed),
@@ -195,6 +196,90 @@ def minhash_dedup(
         threshold,
     ).select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → (id, cluster), where
+    ``cluster`` = the smallest id reachable through dup edges. Transitivity
+    matters: A≈B and B≈C must share one cluster even when A and C are not a
+    candidate pair themselves.
+
+    Distributed min-label propagation (the Pregel/GraphX shape as plain
+    DataFrame joins): each round every node takes the min of its own label
+    and its neighbors' labels; converges in graph-diameter rounds (dup
+    clusters are shallow — typically ≤3–4). Each round is one shuffle-join
+    plus an aggregation; ``localCheckpoint`` truncates lineage so plans stay
+    flat. The driver-side loop is a convergence CHECK (one count per round),
+    not a data path. ``nodes`` (optional) adds isolated ids as singleton
+    clusters.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    members = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        members = members.unionByName(
+            nodes.select(F.col(id_col).alias("id"))
+        ).distinct()
+    labels = members.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+
+
+def minhash_dedup_clustered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-aware near-dup removal: keep exactly ONE doc (the smallest
+    id) per connected component of Jaccard-verified pairs. Unlike the
+    greedy :func:`minhash_dedup` drop-the-larger policy, a chain A≈B≈C
+    keeps only A (greedy would also drop B's and C's independent pairs the
+    same way here, but differs on asymmetric chains)."""
+    dups = jaccard_pairs(
+        df,
+        minhash_lsh_candidates(df, text_col, id_col, k, n_hashes, n_bands, seed),
+        text_col, id_col, k, threshold,
+    )
+    clusters = dup_clusters(dups, id_col=id_col)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
 
 
 def embedding_near_dup_ids(

@@ -92,6 +92,50 @@ class Catalog:
         os.rename(staging, target)
         shutil.rmtree(old, ignore_errors=True)
 
+    def merge_upsert_bucketed(
+        self,
+        updates: DataFrame,
+        name: str,
+        key_cols: list[str],
+        n_buckets: int = 64,
+    ) -> None:
+        """Partition-local MERGE: the table lives partitioned by
+        ``__kb = pmod(xxhash64(keys), n_buckets)``; a merge rewrites ONLY
+        the bucket partitions that contain update keys (dynamic partition
+        overwrite), so merge cost is O(affected buckets), not O(table) —
+        the scale fix for :meth:`merge_upsert`'s full rewrite (r1 accepted
+        debt). On Iceberg this whole method is ``MERGE INTO`` with
+        bucket-partitioned tables; the layout and touched-partition math are
+        identical. Read the table back with :meth:`read_bucketed`.
+
+        Atomicity is per-partition (Spark's commit protocol swaps each
+        ``__kb=N`` directory); a crash mid-merge can leave some buckets
+        merged and others not, but every bucket is internally consistent and
+        re-running the same merge is idempotent.
+        """
+        kb = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+        updates = updates.dropDuplicates(key_cols).withColumn("__kb", kb)
+        target = self.path(name)
+        if not self.exists(name):
+            updates.write.mode("overwrite").partitionBy("__kb").parquet(target)
+            return
+        affected = [r["__kb"] for r in updates.select("__kb").distinct().collect()]
+        existing = self.spark.read.parquet(target).filter(
+            F.col("__kb").isin(affected)  # partition-pruned scan
+        )
+        keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = keep.unionByName(updates)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(target)
+        )
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucket-partitioned table, hiding the bucket column."""
+        return self.read(name).drop("__kb")
+
     # ------------------------------------------------------------------
     # snapshots (S11 — reference pg_dump/restore, README.md:244-254)
     # ------------------------------------------------------------------

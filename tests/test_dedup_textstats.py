@@ -110,6 +110,46 @@ def test_simhash_md5_variant_matches_python_oracle(spark, docs_df):
     assert ("b1", "b2") not in pairs
 
 
+def test_dup_clusters_transitive_chain(spark):
+    """A≈B and B≈C (A,C never a pair) must share one cluster; isolated
+    nodes become singletons; star + chain shapes both converge."""
+    from ocr_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (4, 30), (50, 51), (52, 51)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [2, 9, 4, 30, 50, 51, 52, 77]],
+                                  "doc_id long")
+    got = {r.doc_id: r.cluster for r in dup_clusters(pairs, nodes=nodes).collect()}
+    assert got == {2: 2, 9: 2, 4: 2, 30: 2, 50: 50, 51: 50, 52: 50, 77: 77}
+
+
+def test_minhash_dedup_clustered_keeps_one_per_component(spark):
+    """Chained near-dups (base ≈ c1 ≈ c2, base vs c2 below threshold) must
+    collapse to the single smallest id per component."""
+    from ocr_spark.operators.dedup import jaccard_pairs, minhash_dedup_clustered, minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today again and again"
+    c1 = base + " drift one two three four five"
+    c2 = c1 + " more drift six seven eight nine ten"
+    rows = [("a1", base), ("a2", c1), ("a3", c2), ("z9", "entirely unrelated content about transformers")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            df, minhash_lsh_candidates(df, n_hashes=32, n_bands=16), threshold=0.55
+        ).collect()
+    }
+    # the chain premise: adjacent pairs pass, the far pair does not
+    assert ("a1", "a2") in pairs and ("a2", "a3") in pairs
+    assert ("a1", "a3") not in pairs
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup_clustered(df, threshold=0.55, n_bands=16).collect()
+    )
+    assert kept == ["a1", "z9"]
+
+
 def test_token_counts(spark):
     rows = [("x", "hello world, this is 42 tokens-ish"), ("y", ""), ("z", None), ("w", "  padded   text  ")]
     df = spark.createDataFrame(rows, "doc_id string, text string")

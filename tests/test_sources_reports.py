@@ -151,3 +151,57 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         cat.restore("scores", "nope")
+
+
+def test_merge_upsert_bucketed_touches_only_affected_partitions(spark, tmp_path):
+    """The bucketed MERGE must (a) produce exactly the merge_upsert result,
+    (b) leave parquet files of unaffected bucket partitions byte-untouched
+    (same file set) — proving O(affected buckets) rewrite."""
+    import os
+
+    from ocr_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id").alias("v")
+    )
+    cat.merge_upsert_bucketed(base, "t", ["key"], n_buckets=16)
+
+    def files_by_bucket():
+        out = {}
+        root = cat.path("t")
+        for d in os.listdir(root):
+            if d.startswith("__kb="):
+                out[d] = sorted(os.listdir(os.path.join(root, d)))
+        return out
+
+    before = files_by_bucket()
+    assert len(before) > 4  # keys spread over many buckets
+
+    updates = spark.createDataFrame(
+        [("k5", 999), ("k6", 999), ("knew", 1)], "key string, v long"
+    )
+    cat.merge_upsert_bucketed(updates, "t", ["key"], n_buckets=16)
+    after = files_by_bucket()
+
+    got = {r.key: r.v for r in cat.read_bucketed("t").collect()}
+    assert len(got) == 1001
+    assert got["k5"] == 999 and got["k6"] == 999 and got["knew"] == 1
+    assert got["k7"] == 7  # untouched row intact
+
+    # affected buckets = buckets of k5/k6/knew; all others byte-identical
+    import pyspark.sql.functions as SF
+    aff = {
+        f"__kb={r.b}"
+        for r in updates.select(
+            SF.pmod(SF.xxhash64("key"), SF.lit(16)).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    untouched = set(before) - aff
+    assert untouched  # the test is vacuous if every bucket was affected
+    for d in untouched:
+        assert after[d] == before[d], f"unaffected partition {d} was rewritten"
+
+    # idempotent re-merge
+    cat.merge_upsert_bucketed(updates, "t", ["key"], n_buckets=16)
+    assert cat.read_bucketed("t").count() == 1001
