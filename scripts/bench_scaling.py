@@ -47,8 +47,12 @@ def force(df):
 
 # non-extraction scale paths measured alongside the headline job:
 # dedup (minhash-LSH candidate generation over rendered text) and
-# ANN (random-projection bucket top-k over deterministic embeddings)
-texts = render_markdown(extract_docs(docs)).select("doc_id", F.col("content").alias("text"))
+# ANN (random-projection bucket top-k over deterministic embeddings).
+# dedup runs on a deterministic 1/4 hash-subset: shingling the full corpus
+# (incl. 20k-span heavy docs) at the LOW parallelism level takes tens of
+# minutes, and efficiency only needs the SAME input at both levels.
+subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+texts = render_markdown(extract_docs(subset)).select("doc_id", F.col("content").alias("text"))
 emb_udf = make_embedding_udf(64)
 emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
 qs = emb.limit(3).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec"))

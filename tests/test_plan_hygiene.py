@@ -87,6 +87,14 @@ def test_ivf_centroid_pick_is_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan, plan[:1500]
 
 
+def test_north_rule_ops_have_no_single_partition_exchange(spark):
+    """boilerplate / layout / pdf plans must never funnel through one task:
+    all their windows are partitioned and all shuffles are keyed."""
+    for name in ("html_boilerplate", "layout_regions", "reading_order", "pdf_pages"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan[:1500]}"
+
+
 def test_allpairs_norms_stay_below_the_join(spark):
     """Pre-normalization must survive optimization: exactly one SQRT per
     side, both BELOW the join — none in the pair-level filter (which would
