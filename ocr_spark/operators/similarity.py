@@ -192,20 +192,26 @@ def band_buckets(
     bit-identical to :func:`random_projection_buckets` and to the SQL
     oracles (band b = seed + b*7919).
     """
+    # the explode carries ONLY (id, i, x): Generate copies its required
+    # child columns into every output row, so carrying the vector would
+    # materialize dim copies of it per input row (~2 GB/pass at 120k x 64).
+    # The vector rejoins AFTER the per-id aggregation — one keyed shuffle of
+    # corpus size instead.
     ex = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
         F.posexplode(F.col(vec_col)).alias("__i", "__x"),
     )
     x = F.col("__x").cast("double")
     i = F.col("__i")
     projs = ex.groupBy("__id").agg(
-        F.first("__vec").alias("__vec"),
         *[
             F.sum(x * _lcg_component(seed + b * 7919, p, i)).alias(f"__pr_{b}_{p}")
             for b in range(n_bands)
             for p in range(n_planes)
         ],
+    ).join(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")),
+        "__id",
     )
     def _bucket_of(b: int) -> "F.Column":
         out = None

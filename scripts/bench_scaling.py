@@ -51,7 +51,7 @@ def force(df):
 # dedup runs on a deterministic 1/4 hash-subset: shingling the full corpus
 # (incl. 20k-span heavy docs) at the LOW parallelism level takes tens of
 # minutes, and efficiency only needs the SAME input at both levels.
-subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0)
 texts = render_markdown(extract_docs(subset)).select("doc_id", F.col("content").alias("text"))
 emb_udf = make_embedding_udf(64)
 emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
