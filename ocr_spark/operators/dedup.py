@@ -45,6 +45,15 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
     Documents with fewer than k words contribute their whole text as the
     single shingle (so short docs still dedupe exactly).
+
+    PERFORMANCE WARNING — O(len²) on big documents: the ``words``
+    split-expression is referenced INSIDE the transform lambda, and Catalyst
+    re-inlines it there (no CSE in HOF lambda bodies), so normalize+split of
+    the whole text re-evaluates once PER SHINGLE. Fine for ≤~1k-word rows;
+    a 75k-word document turns into ~37 GB of regex work. Every pipeline in
+    this module uses :func:`with_shingles` instead, which materializes the
+    words array as a real column first. Kept only as the column-expression
+    form for small-text call sites and as the equivalence baseline in tests.
     """
     words = F.split(normalized_text(col), " ")
     n = F.size(words)
@@ -53,6 +62,26 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(words, i, k), " "),
     )
     return F.array_distinct(shingles)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Append distinct word k-shingles with the words array MATERIALIZED as
+    its own projection first, so the split runs once per row and the lambda
+    only slices a bound column (the alias is referenced more than once and
+    is non-cheap, so CollapseProject cannot re-inline it — verified by the
+    heavy-doc timing test). Linear in document length; identical output to
+    :func:`word_shingles`."""
+    w = df.withColumn("__words", F.split(normalized_text(text_col), " "))
+    n = F.size(F.col("__words"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("__words"), i, k), " "),
+        )
+    )
+    return w.withColumn(out_col, shingles).drop("__words")
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
@@ -93,8 +122,8 @@ def minhash_signatures(
     so the shuffle carries only ``n_hashes`` longs per document. Identical
     output to :func:`minhash_signature`.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("s")
+    exploded = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("s")
     )
     mins = exploded.groupBy("id").agg(
         *[
@@ -158,9 +187,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs:
     |A∩B| / |A∪B| over distinct word k-shingles, native set ops."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
-    )
+    sh = with_shingles(df, text_col, k).select(F.col(id_col).alias("id"), "shingles")
     joined = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

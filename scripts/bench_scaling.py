@@ -75,6 +75,7 @@ for name, mk in JOBS.items():
         times.append(time.perf_counter() - t0)
     out[name] = {{"sec": round(min(times), 3),
                   "all_runs": [round(t, 3) for t in times]}}
+    print(f"[scaling {{cores}}c] {{name}}: {{out[name]}}", file=sys.stderr, flush=True)
 n_docs = docs.count()
 n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
 out["n_docs"] = n_docs
@@ -88,9 +89,11 @@ print(json.dumps(out))
 
 def run_level(cores: int, corpus: str) -> dict:
     script = _WORKER.format(repo=REPO)
+    # stderr inherits (per-job progress lines are greppable in the parent's
+    # log); only stdout (the one JSON line) is captured
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), corpus],
-        capture_output=True, text=True, check=True, cwd=REPO,
+        stdout=subprocess.PIPE, text=True, check=True, cwd=REPO,
     )
     line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
     return json.loads(line)
