@@ -73,9 +73,13 @@ def html_blocks(
     ``posexplode`` keeps document order in ``block_no``; per-block features
     are plain materialized columns computed after the explode, so each regex
     runs once per block."""
+    # posexplode_OUTER: plain (pos)explode makes the optimizer infer a
+    # `size(...) > 0` filter that re-evaluates the regex split once more per
+    # row; split() never returns an empty array, so outer is row-identical
+    # and skips that filter entirely
     blocks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(html_col), BLOCK_TAG_RE)).alias(
+        F.posexplode_outer(F.split(F.col(html_col), BLOCK_TAG_RE)).alias(
             "block_no", "raw"
         ),
     )

@@ -122,8 +122,15 @@ def minhash_signatures(
     so the shuffle carries only ``n_hashes`` longs per document. Identical
     output to :func:`minhash_signature`.
     """
+    # explode_OUTER, deliberately: plain explode makes the optimizer infer a
+    # `size(shingles) > 0` Filter and push it below the words projection,
+    # re-substituting the FULL shingle expression with the split re-inlined
+    # inside the lambda — the exact O(len²) this module works to avoid
+    # (verified via jstack: StringSplit inside ArrayTransform in the Filter).
+    # The shingles array is never empty (with_shingles emits ≥1), so outer
+    # explode is row-identical and generates no such filter.
     exploded = with_shingles(df, text_col, k).select(
-        F.col(id_col).alias("id"), F.explode("shingles").alias("s")
+        F.col(id_col).alias("id"), F.explode_outer("shingles").alias("s")
     )
     mins = exploded.groupBy("id").agg(
         *[
@@ -457,9 +464,11 @@ def simhash_bits_md5(
     carries 64 ints per doc); bit tests are native shift/mask over the hex
     digits — no HOF-lambda re-evaluation, no Python."""
     width = 64 // n_blocks
+    # outer: avoids the optimizer's inferred size()>0 filter re-evaluating
+    # the split per row (split of normalized text is never empty)
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+        F.explode_outer(F.split(normalized_text(text_col), " ")).alias("w"),
     )
     hexed = exploded.select("id", F.md5("w").alias("h"))
 

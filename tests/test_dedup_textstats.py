@@ -138,6 +138,25 @@ def test_with_shingles_materializes_words_once(spark, docs_df):
     assert plan.count("regexp_replace") == 1, plan[:1500]
 
 
+def test_exploded_shingles_have_no_inferred_lambda_filter(spark, docs_df):
+    """The EXPLODED path (what minhash_signatures runs) must not carry the
+    optimizer's inferred size()>0 Filter: predicate pushdown substitutes the
+    full shingle expression into it with the split re-inlined inside the
+    lambda — O(len²) per row, caught by jstack on the 47k-word corpus docs.
+    explode_outer (arrays provably non-empty) generates no such filter."""
+    from ocr_spark.operators.dedup import minhash_signatures, simhash_bits_md5
+
+    for df in (
+        minhash_signatures(docs_df, n_hashes=4),
+        simhash_bits_md5(docs_df),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if line.strip().startswith(("Filter", "+- Filter")):
+                assert "lambdafunction" not in line, line[:500]
+                assert "split(" not in line, line[:500]
+
+
 def test_dup_clusters_transitive_chain(spark):
     """A≈B and B≈C (A,C never a pair) must share one cluster; isolated
     nodes become singletons; star + chain shapes both converge."""
