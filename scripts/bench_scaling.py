@@ -48,10 +48,12 @@ def force(df):
 # non-extraction scale paths measured alongside the headline job:
 # dedup (minhash-LSH candidate generation over rendered text) and
 # ANN (random-projection bucket top-k over deterministic embeddings).
-# dedup runs on a deterministic 1/4 hash-subset: shingling the full corpus
-# (incl. 20k-span heavy docs) at the LOW parallelism level takes tens of
-# minutes, and efficiency only needs the SAME input at both levels.
-subset = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0)
+# dedup subset fraction (1 = full corpus) — configurable because job cost
+# at the LOW parallelism level bounds the wall clock of the whole protocol
+_frac = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_FRAC", "1"))
+subset = docs if _frac <= 1 else docs.filter(
+    F.pmod(F.xxhash64("doc_id"), F.lit(_frac)) == 0
+)
 texts = render_markdown(extract_docs(subset)).select("doc_id", F.col("content").alias("text"))
 emb_udf = make_embedding_udf(64)
 emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
