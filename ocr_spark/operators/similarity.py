@@ -346,11 +346,20 @@ def ivf_topk_per_query(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroid_seed: int = 0,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic coarse quantizer + cell-local
     exact search — the second scale path next to :func:`ann_topk_per_query`
     (pgvector's ivfflat analog, /root/reference/src/db_utils.py:104-107,
     ``lists=100``).
+
+    ``refine_iters`` runs that many Lloyd (k-means) iterations on the seeded
+    pick — each is one distributed assign + per-component mean (posexplode →
+    map-side-combined avg on (cell, i): the shuffle carries n_cells×dim
+    partials per partition). Refined centroids are float means whose
+    cross-partition summation order is not bit-reproducible in SQL, so the
+    oracle-gated default stays 0; refinement is pytest-covered (recall vs
+    brute force).
 
     * **Centroids**: the ``n_cells`` rows with the smallest LCG key of the
       numeric id — a deterministic pseudo-random sample via
@@ -375,17 +384,19 @@ def ivf_topk_per_query(
     cent_rows = [
         {"cell": i, "cvec": r["cvec"]} for i, r in enumerate(cent_rows)
     ]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["cell"]).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
 
-    def _best_cells(vec: Column, n: int) -> Column:
+    def _cent_arr(rows) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r["cell"]).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+                )
+                for r in rows
+            ]
+        )
+
+    def _best_cells(vec: Column, n: int, cent_arr: Column) -> Column:
         """cells of the n nearest centroids, as array<int> (native sort)."""
         scored = F.transform(
             cent_arr,
@@ -398,11 +409,33 @@ def ivf_topk_per_query(
             F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
         )
 
+    for _ in range(refine_iters):
+        # one Lloyd iteration: assign all vectors, mean per (cell, component)
+        arr = _cent_arr(cent_rows)
+        assigned_it = embeddings.withColumn(
+            "cell", F.element_at(_best_cells(F.col(vec_col), 1, arr), 1)
+        )
+        means = (
+            assigned_it.select("cell", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+            .groupBy("cell", "__i")
+            .agg(F.avg(F.col("__x").cast("double")).alias("m"))
+            .collect()  # n_cells x dim rows — driver-side like the pick
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["__i"]] = r["m"]
+        # empty cells vanish; survivors renumber densely 0..k-1
+        cent_rows = [
+            {"cell": j, "cvec": [comps[i] for i in sorted(comps)]}
+            for j, (_, comps) in enumerate(sorted(by_cell.items()))
+        ]
+
+    cent_arr = _cent_arr(cent_rows)
     assigned = embeddings.withColumn(
-        "cell", F.element_at(_best_cells(F.col(vec_col), 1), 1)
+        "cell", F.element_at(_best_cells(F.col(vec_col), 1, cent_arr), 1)
     )
     probed = queries.withColumn(
-        "cell", F.explode(_best_cells(F.col(query_vec_col), n_probe))
+        "cell", F.explode(_best_cells(F.col(query_vec_col), n_probe, cent_arr))
     )
     cand = assigned.join(probed, "cell").filter(
         F.col(id_col) != F.col(query_id_col)

@@ -228,6 +228,34 @@ def test_ivf_exact_sims_and_recall(spark):
     assert {(r.query_id, r.doc_id) for r in full} == brute_top
 
 
+def test_ivf_lloyd_refinement(spark):
+    """refine_iters runs k-means on the seeded pick: results stay exact
+    cosine values (rescoring unchanged), every returned doc exists in the
+    brute-force ranking, and full-probe recall stays perfect after
+    refinement (refined cells still partition the corpus)."""
+    from ocr_spark.operators.similarity import ivf_topk_per_query
+
+    emb = _emb_df(spark, n=150, dim=16, seed=21)
+    qs = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r.query_id, r.doc_id): r.similarity
+        for r in top_k_per_query(emb, qs, k=150, threshold=-2.0).collect()
+    }
+    out = ivf_topk_per_query(emb, qs, n_cells=8, n_probe=3, k=5, refine_iters=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
+    # probing every refined cell recovers the exact brute-force top-k
+    full = ivf_topk_per_query(emb, qs, n_cells=8, n_probe=8, k=5, refine_iters=2).collect()
+    brute_top = {
+        (r.query_id, r.doc_id)
+        for r in top_k_per_query(emb, qs, k=5, threshold=-2.0).collect()
+    }
+    assert {(r.query_id, r.doc_id) for r in full} == brute_top
+
+
 def test_blocked_allpairs_matches_expression_path(spark):
     from ocr_spark.operators.similarity import (
         all_pairs_similarity,
