@@ -811,7 +811,10 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = docs.unionByName(near).withColumn(
         "doc_id", F.lpad(F.col("doc_id").cast("string"), 7, "0")
     )
-    return simhash_md5_dup_pairs(un, max_hamming=6).select(
+    # 8 blocks of 8 bits: pigeonhole guarantees full recall at hamming <= 7,
+    # covering the max_hamming=6 ask (4 blocks would silently miss pairs
+    # whose 4-6 differing bits spread across all blocks)
+    return simhash_md5_dup_pairs(un, max_hamming=6, n_blocks=8).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "hamming",
@@ -1718,10 +1721,11 @@ def oracle_sql() -> dict[str, str]:
           from bitsum group by doc_id
         ),
         blk as (
+          -- 8 blocks x 8 bits (recall guaranteed for hamming <= 7)
           select doc_id, bits,
-                 list_transform(range(0, 4), b ->
-                   list_sum(list_transform(range(0, 16), i ->
-                     bits[b * 16 + i + 1] * (1 << i)))) as blocks
+                 list_transform(range(0, 8), b ->
+                   list_sum(list_transform(range(0, 8), i ->
+                     bits[b * 8 + i + 1] * (1 << i)))) as blocks
           from bits
         ),
         pairs as (
@@ -1730,7 +1734,7 @@ def oracle_sql() -> dict[str, str]:
                    case when a.bits[i] <> b.bits[i] then 1 else 0 end)) as int) as hamming
           from blk a join blk b
             on a.doc_id < b.doc_id
-           and len(list_filter(range(1, 5), k -> a.blocks[k] = b.blocks[k])) > 0
+           and len(list_filter(range(1, 9), k -> a.blocks[k] = b.blocks[k])) > 0
         )
         select id_a, id_b, hamming from pairs where hamming <= 6
     """
@@ -1826,12 +1830,20 @@ def oracle_sql() -> dict[str, str]:
                                         b.embedding::DOUBLE[]) as sim
           from embeddings a join embeddings b on a.vec_id < b.vec_id
           where a.vec_id < 200 and b.vec_id < 200
+        ),
+        -- deterministic tiebreak mirroring the Spark max_by/min_by key:
+        -- among equal similarities take the smallest (id_a, id_b)
+        most as (
+          select id_a, id_b, sim from pairs order by sim desc, id_a, id_b limit 1
+        ),
+        least as (
+          select id_a, id_b, sim from pairs order by sim asc, id_a, id_b limit 1
         )
-        select arg_max(id_a, sim) as most_a, arg_max(id_b, sim) as most_b,
-               round(max(sim), 4) as max_sim,
-               arg_min(id_a, sim) as least_a, arg_min(id_b, sim) as least_b,
-               round(min(sim), 4) as min_sim
-        from pairs
+        select most.id_a as most_a, most.id_b as most_b,
+               round(most.sim, 4) as max_sim,
+               least.id_a as least_a, least.id_b as least_b,
+               round(least.sim, 4) as min_sim
+        from most, least
     """
     sql["problems_markdown"] = f"""
         {_WORDS_CTE},

@@ -237,6 +237,7 @@ def dup_clusters(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (id, cluster), where
     ``cluster`` = the smallest id reachable through dup edges. Transitivity
@@ -251,6 +252,11 @@ def dup_clusters(
     flat. The driver-side loop is a convergence CHECK (one count per round),
     not a data path. ``nodes`` (optional) adds isolated ids as singleton
     clusters.
+
+    If labels are still changing after ``max_iter`` rounds (a component
+    whose graph distance from its minimum id exceeds ``max_iter`` — chains
+    longer than typical dup clusters), the result would be silently split;
+    this RAISES instead unless ``allow_partial=True``.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -262,6 +268,8 @@ def dup_clusters(
         members = members.unionByName(
             nodes.select(F.col(id_col).alias("id"))
         ).distinct()
+    if max_iter < 1:
+        raise ValueError("dup_clusters needs max_iter >= 1")
     labels = members.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
@@ -288,6 +296,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if not allow_partial:
+            raise RuntimeError(
+                f"dup_clusters did not converge within max_iter={max_iter} "
+                f"rounds ({changed} labels still changing) — raise max_iter "
+                "(graph diameter bound) or pass allow_partial=True"
+            )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
@@ -425,6 +440,18 @@ def simhash_candidates(
     )
 
 
+def _check_simhash_recall(max_hamming: int, n_blocks: int) -> None:
+    """Pigeonhole: a pair at hamming h shares ≥1 block only when
+    h < n_blocks. Asking for max_hamming ≥ n_blocks would SILENTLY miss
+    pairs whose differing bits spread across every block — refuse."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks > max_hamming for "
+            f"guaranteed recall (got n_blocks={n_blocks}): pairs with one "
+            "differing bit per block would share no block and be missed"
+        )
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit hashes via bit_count(xor)."""
     ca = F.col(a) if isinstance(a, str) else a
@@ -438,8 +465,10 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    cands = simhash_candidates(df, text_col, id_col, seed)
+    _check_simhash_recall(max_hamming, n_blocks)
+    cands = simhash_candidates(df, text_col, id_col, seed, n_blocks)
     return (
         cands.withColumn("hamming", hamming64("sh_a", "sh_b"))
         .filter(F.col("hamming") <= max_hamming)
@@ -511,6 +540,7 @@ def simhash_md5_dup_pairs(
     :func:`simhash_candidates` — ≤ n_blocks−1 differing blocks ⇒ some block
     equal whenever hamming < n_blocks); Hamming verified on the bit arrays.
     One shuffle on (block, block_val); never all-pairs."""
+    _check_simhash_recall(max_hamming, n_blocks)
     base = simhash_bits_md5(df, text_col, id_col, n_blocks)
     blocks = base.select(
         "id",

@@ -94,6 +94,12 @@ def make_decode_udf():
 
 _QUALITY_STEPS = tuple(range(80, 19, -10))  # 80,70,...,20 — reference loop
 _MAX_BYTES = 25_000  # reference cap (src/gemini_image_analyzer.py:539)
+# The quality-loop semantics exist in THREE forms sharing these constants:
+# make_resize_meta_udf (stats UDF), make_media_meta_udf (fused Python-side
+# consumer path), resize_meta_native (JVM closed form, the metadata-only
+# scale path). tests/test_media_ann_sampling.py::
+# test_native_meta_equals_udf_paths pins all of them equal on boundary
+# inputs, so a semantic change to either constant fails loudly.
 
 
 def _fake_recompress(b: bytes, quality: int) -> bytes:

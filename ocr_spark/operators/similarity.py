@@ -544,9 +544,23 @@ def most_least_similar_pair(
         embeddings, threshold=-2.0, id_col=id_col, vec_col=vec_col,
         n_blocks=n_blocks, id_type=id_type,
     )
+    # deterministic tiebreak (duplicate vectors tie at similarity 1.0):
+    # among equal-similarity pairs take the smallest (id_a, id_b) — the max
+    # side negates the ids so the lexicographically-max key is the smallest
+    # pair; the oracle resolves ties the same way
     return pairs.agg(
-        F.max_by(F.struct("id_a", "id_b"), "similarity").alias("most_similar"),
-        F.min_by(F.struct("id_a", "id_b"), "similarity").alias("least_similar"),
+        F.max_by(
+            F.struct("id_a", "id_b"),
+            F.struct(
+                F.col("similarity"),
+                (-F.col("id_a")).alias("na"),
+                (-F.col("id_b")).alias("nb"),
+            ),
+        ).alias("most_similar"),
+        F.min_by(
+            F.struct("id_a", "id_b"),
+            F.struct(F.col("similarity"), F.col("id_a"), F.col("id_b")),
+        ).alias("least_similar"),
         F.max("similarity").alias("max_similarity"),
         F.min("similarity").alias("min_similarity"),
     )

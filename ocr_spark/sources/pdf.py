@@ -89,10 +89,15 @@ def pages_to_docs(pages: DataFrame, path_col: str = "path") -> DataFrame:
     stem = F.regexp_replace(
         F.element_at(F.split(F.col(path_col), "/"), -1), r"\.[^.]+$", ""
     )
+    # NOT a bare lpad: Spark's lpad TRUNCATES strings longer than the pad
+    # width ('1000' -> '100'), which would collide page 1000 with page 100;
+    # the reference's f'{N:03d}' pads without truncating
+    page_str = F.col("page_no").cast("string")
+    padded = F.when(F.length(page_str) < 3, F.lpad(page_str, 3, "0")).otherwise(
+        page_str
+    )
     return pages.select(
-        F.concat(
-            stem, F.lit("_page_"), F.lpad(F.col("page_no").cast("string"), 3, "0")
-        ).alias("doc_id"),
+        F.concat(stem, F.lit("_page_"), padded).alias("doc_id"),
         F.col("page_no"),
         F.decode(F.col("page"), "utf-8").alias("text"),
         F.col("n_bytes"),

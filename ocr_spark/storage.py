@@ -139,13 +139,33 @@ class Catalog:
     # ------------------------------------------------------------------
     # snapshots (S11 — reference pg_dump/restore, README.md:244-254)
     # ------------------------------------------------------------------
+    def _partition_cols(self, name: str) -> list[str]:
+        """Hive-style partition columns of a table directory (top-level
+        ``col=value`` subdirs), e.g. ``__kb`` for bucketed tables."""
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return []
+        cols = []
+        for entry in os.listdir(p):
+            if os.path.isdir(os.path.join(p, entry)) and "=" in entry:
+                col = entry.split("=", 1)[0]
+                if col not in cols:
+                    cols.append(col)
+        return cols
+
     def snapshot(self, name: str, snapshot_name: str) -> str:
-        """CTAS-style snapshot of a table's CURRENT contents. Re-snapshotting
+        """CTAS-style snapshot of a table's CURRENT contents, PRESERVING its
+        partition layout (a bucketed table restores bucketed, so
+        merge_upsert_bucketed keeps working after a restore). Re-snapshotting
         the same name overwrites (idempotent). On Iceberg this becomes a
         zero-copy tag/branch; here it is a parquet copy through Spark."""
         snap = f"__snapshots__/{name}/{snapshot_name}"
         os.makedirs(os.path.dirname(self.path(snap)), exist_ok=True)
-        self.read(name).write.mode("overwrite").parquet(self.path(snap))
+        w = self.read(name).write.mode("overwrite")
+        parts = self._partition_cols(name)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(self.path(snap))
         return snap
 
     def list_snapshots(self, name: str) -> list[str]:
@@ -166,7 +186,11 @@ class Catalog:
             raise FileNotFoundError(f"no snapshot {snapshot_name!r} for table {name!r}")
         target = self.path(name)
         staging = target + ".__staging__" + uuid.uuid4().hex[:8]
-        self.read(snap).write.mode("overwrite").parquet(staging)
+        w = self.read(snap).write.mode("overwrite")
+        parts = self._partition_cols(snap)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(staging)
         if os.path.isdir(target):
             old = target + ".__old__" + uuid.uuid4().hex[:8]
             os.rename(target, old)

@@ -69,7 +69,7 @@ def test_minhash_near_dup_detection(spark, docs_df):
 
 
 def test_simhash_near_dup(spark, docs_df):
-    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(docs_df, max_hamming=12).collect()}
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(docs_df, max_hamming=12, n_blocks=16).collect()}
     assert ("a1", "a2") in pairs and pairs[("a1", "a2")] == 0
     assert ("a1", "a3") in pairs
     assert ("b1", "b2") not in pairs
@@ -103,7 +103,7 @@ def test_simhash_md5_variant_matches_python_oracle(spark, docs_df):
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_md5_dup_pairs(docs_df, max_hamming=12).collect()
+        for r in simhash_md5_dup_pairs(docs_df, max_hamming=12, n_blocks=16).collect()
     }
     assert ("a1", "a2") in pairs and pairs[("a1", "a2")] == 0
     assert ("a1", "a3") in pairs
@@ -169,6 +169,23 @@ def test_dup_clusters_transitive_chain(spark):
                                   "doc_id long")
     got = {r.doc_id: r.cluster for r in dup_clusters(pairs, nodes=nodes).collect()}
     assert got == {2: 2, 9: 2, 4: 2, 30: 2, 50: 50, 51: 50, 52: 50, 77: 77}
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """A chain longer than max_iter rounds must raise (not silently split);
+    allow_partial=True opts into the partial labels."""
+    from ocr_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=3)
+    partial = dup_clusters(chain, max_iter=3, allow_partial=True)
+    assert partial.count() == 13
+    # converged run resolves the whole chain to min id 0
+    full = dup_clusters(chain, max_iter=15)
+    assert {r.cluster for r in full.collect()} == {0}
 
 
 def test_minhash_dedup_clustered_keeps_one_per_component(spark):

@@ -40,6 +40,20 @@ def test_binaryfile_scan_and_split(spark, tmp_path):
     assert docs[0].n_bytes == len(b"page one text")
 
 
+def test_page_ids_do_not_truncate_past_999(spark):
+    """Spark lpad TRUNCATES past the pad width; page 1000 must not collide
+    with page 100 (reference f'{N:03d}' pads without truncating)."""
+    blob = PAGE_SEP.join(b"p%d" % i for i in range(1, 1101))
+    df = spark.createDataFrame(
+        [("m://big.pdf", bytearray(blob))], "path string, content binary"
+    )
+    docs = pages_to_docs(split_pages(df))
+    ids = [r.doc_id for r in docs.collect()]
+    assert len(ids) == len(set(ids)) == 1100
+    assert "big_page_001" in ids and "big_page_100" in ids
+    assert "big_page_1000" in ids and "big_page_1100" in ids
+
+
 def test_split_pages_fanout_skew_shape(spark):
     """One 500-page file and one 1-page file in the same batch: the
     mapInPandas fan-out must emit 501 rows with exact per-page bytes."""
@@ -151,6 +165,39 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         cat.restore("scores", "nope")
+
+
+def test_snapshot_restore_preserves_bucketed_layout(spark, tmp_path):
+    """Restoring a bucketed table must keep its __kb partition layout so a
+    subsequent merge_upsert_bucketed stays partition-local and the directory
+    never mixes flat files with partition dirs."""
+    import os
+
+    from ocr_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id").alias("v")
+    )
+    cat.merge_upsert_bucketed(base, "bt", ["key"], n_buckets=8)
+    cat.snapshot("bt", "s1")
+    cat.merge_upsert_bucketed(
+        spark.createDataFrame([("k1", 999)], "key string, v long"),
+        "bt", ["key"], n_buckets=8,
+    )
+    cat.restore("bt", "s1")
+    # layout preserved: only __kb= partition dirs at the root
+    entries = os.listdir(cat.path("bt"))
+    kb_dirs = [e for e in entries if e.startswith("__kb=")]
+    flat_files = [e for e in entries if e.endswith(".parquet")]
+    assert kb_dirs and not flat_files, entries
+    # and bucketed merging still works on the restored table
+    cat.merge_upsert_bucketed(
+        spark.createDataFrame([("k1", 777), ("knew", 1)], "key string, v long"),
+        "bt", ["key"], n_buckets=8,
+    )
+    got = {r.key: r.v for r in cat.read_bucketed("bt").collect()}
+    assert len(got) == 201 and got["k1"] == 777 and got["k2"] == 2
 
 
 def test_merge_upsert_bucketed_touches_only_affected_partitions(spark, tmp_path):
