@@ -971,12 +971,13 @@ def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fan-out (one file row → many page rows) is value-checked."""
     from ocr_spark.sources.pdf import pages_to_docs, split_pages
 
-    docs = _docs_table(spark, sf_dir)
-    words = F.split("text", " ")
-    n = F.size(words)
+    # words materialized as a column: referencing the split EXPRESSION inside
+    # the chunk lambda would re-evaluate it per chunk (lambda-CSE pitfall)
+    docs = _docs_table(spark, sf_dir).withColumn("__words", F.split("text", " "))
+    n = F.size("__words")
     chunks = F.transform(
         F.sequence(F.lit(0), F.ceil(n / F.lit(10.0)).cast("int") - 1),
-        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+        lambda i: F.array_join(F.slice(F.col("__words"), i * 10 + 1, 10), " "),
     )
     pdf = F.encode(F.array_join(chunks, "\f"), "utf-8")
     files = docs.select(
@@ -992,6 +993,26 @@ def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page_no",
         F.size(F.split("text", " ")).alias("n_words"),
         F.length("text").alias("page_chars"),
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source plumbing: serialize docs to JSON lines (every 50th line
+    corrupted), parse back typed via from_json — corrupt lines must isolate
+    as null docs (F3), intact lines must round-trip span count and the last
+    span's kind exactly."""
+    from ocr_spark.sources.jsonl import doc_to_json, parse_jsonl_column
+
+    docs = _spans_from_documents(_docs_table(spark, sf_dir))
+    line = F.when(
+        F.col("doc_id") % 50 == 0, F.lit('{"broken')
+    ).otherwise(doc_to_json(F.col("doc_id").cast("string"), F.col("spans")))
+    parsed = parse_jsonl_column(docs.select("doc_id", line.alias("line")))
+    return parsed.select(
+        "doc_id",
+        F.col("doc.doc_id").isNotNull().alias("parsed_ok"),
+        F.size("doc.spans").alias("n_spans"),
+        F.element_at("doc.spans", -1)["kind"].alias("last_kind"),
     )
 
 
@@ -1156,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "ivf_topk": q_ivf_topk,
         "pdf_pages": q_pdf_pages,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "html_boilerplate": q_html_boilerplate,
         "html_blocks": q_html_blocks,
         "layout_regions": q_layout_regions,
@@ -1981,6 +2003,29 @@ def oracle_sql() -> dict[str, str]:
           from words
           group by doc_id, (pos - 1) // 10
         )
+    """
+    # parse(to_json(doc)) is the identity on intact lines, so the oracle
+    # derives the expected fields straight from the word stream; corrupt
+    # lines (doc_id % 50 == 0) must yield nulls
+    sql["jsonl_roundtrip"] = f"""
+        {_WORDS_CTE},
+        agg as (
+          select doc_id, cast(count(*) as int) as n, max(pos) as maxpos
+          from words group by doc_id
+        ),
+        lastw as (
+          select a.doc_id, a.n,
+                 (case when w.pos % 13 = 1 then 'heading'
+                       when w.pos % 13 in (5, 6) then 'choice'
+                       when w.word = 'table' then 'media'
+                       when w.pos % 11 = 3 then 'table' else 'text' end) as lk
+          from agg a join words w on w.doc_id = a.doc_id and w.pos = a.maxpos
+        )
+        select d.doc_id,
+               d.doc_id % 50 <> 0 as parsed_ok,
+               case when d.doc_id % 50 = 0 then null else l.n end as n_spans,
+               case when d.doc_id % 50 = 0 then null else l.lk end as last_kind
+        from documents d join lastw l using (doc_id)
     """
     # --- north-rule operators: boilerplate strip + layout regions ----------
     # Regex semantics verified identical between Java regex and RE2 for

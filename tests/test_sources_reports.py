@@ -73,6 +73,46 @@ def test_split_pages_fanout_skew_shape(spark):
 
 
 # ---------------------------------------------------------------------------
+# JSONL source
+# ---------------------------------------------------------------------------
+def test_read_jsonl_with_corrupt_isolation(spark, tmp_path):
+    from ocr_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    lines = [
+        '{"doc_id": "d1", "spans": [{"kind": "text", "text": "hello", '
+        '"media_ref": null, "offset": 0}], "source": "s"}',
+        '{"doc_id": "d2", "spans": [], "source": "s"}',
+        "{this is not json",
+        '{"doc_id": "d3"}',
+    ]
+    f = tmp_path / "corpus.jsonl"
+    f.write_text("\n".join(lines) + "\n")
+    good, bad = split_corrupt(read_jsonl(spark, str(f)))
+    g = {r.doc_id: r for r in good.collect()}
+    assert set(g) == {"d1", "d2", "d3"}
+    assert g["d1"].spans[0].kind == "text" and g["d1"].spans[0].offset == 0
+    assert g["d2"].spans == [] and g["d3"].spans is None
+    assert [r._corrupt_record for r in bad.collect()] == ["{this is not json"]
+
+
+def test_jsonl_roundtrip_identity(spark):
+    from ocr_spark.sources.jsonl import doc_to_json, parse_jsonl_column
+
+    df = spark.createDataFrame(
+        [("a", [("text", "x", None, 0), ("media", "", "img://a/1", 1)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    back = parse_jsonl_column(
+        df.select(doc_to_json("doc_id", "spans").alias("line"))
+    ).select("doc.*")
+    r = back.collect()[0]
+    assert r.doc_id == "a"
+    assert [tuple(s) for s in r.spans] == [
+        ("text", "x", None, 0), ("media", "", "img://a/1", 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # S10 — comparison report (byte-exact golden)
 # ---------------------------------------------------------------------------
 GOLDEN_REPORT = (
