@@ -1993,7 +1993,10 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["pdf_pages"] = f"""
         {_WORDS_CTE}
-        select doc_id || '_page_' || lpad(cast(page_no as varchar), 3, '0') as doc_id,
+        select doc_id || '_page_' ||
+               case when length(cast(page_no as varchar)) < 3
+                    then lpad(cast(page_no as varchar), 3, '0')
+                    else cast(page_no as varchar) end as doc_id,
                page_no, n_words, page_chars
         from (
           select doc_id,

@@ -57,7 +57,15 @@ def euclidean_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def normalize(a: Column | str) -> Column:
-    """L2-normalize an array<float> column natively."""
+    """L2-normalize an array<float> column natively — float output.
+
+    PERFORMANCE FOOTGUN — prefer :func:`unit_vector` in any hot path: this
+    form references the norm inside a ``transform`` lambda, and Catalyst
+    re-inlines aliased expressions into HOF lambda bodies (no CSE there), so
+    the O(dim) norm is recomputed per ELEMENT — O(dim²) per row.
+    ``unit_vector`` computes the identical normalization in O(dim)/row.
+    Kept only for the float-typed output contract and as the documented
+    counter-example (tests pin that no operator path imports it)."""
     n = l2_norm(a)
     return F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))
 

@@ -191,6 +191,16 @@ def band_buckets(
     sequential fold — the double-precision projections (and sign bits) are
     bit-identical to :func:`random_projection_buckets` and to the SQL
     oracles (band b = seed + b*7919).
+
+    Bit-identity CAVEAT: the guarantee holds only while the map-side hash
+    aggregate does NOT spill. Under memory pressure Spark spills partial
+    aggregates and merges them in an engine-chosen order; a near-zero
+    projection could then flip its sign bit and desync a bucket id from the
+    sequential-fold oracle. Downstream RESULTS stay correct (buckets only
+    gate candidate generation and every candidate is exact-rescored), but a
+    bucket-membership comparison against the SQL oracle is only exact
+    spill-free — compare rescored top-k, not raw buckets, if spills are
+    possible at the target scale.
     """
     # the explode carries ONLY (id, i, x): Generate copies its required
     # child columns into every output row, so carrying the vector would
@@ -545,16 +555,19 @@ def most_least_similar_pair(
         n_blocks=n_blocks, id_type=id_type,
     )
     # deterministic tiebreak (duplicate vectors tie at similarity 1.0):
-    # among equal-similarity pairs take the smallest (id_a, id_b) — the max
-    # side negates the ids so the lexicographically-max key is the smallest
-    # pair; the oracle resolves ties the same way
+    # among equal-similarity pairs take the smallest (id_a, id_b). The max
+    # side is a min_by over (-similarity, id_a, id_b) — negating the
+    # SIMILARITY (always double) rather than the ids, so the tiebreak stays
+    # deterministic for string ids too (unary minus on a string id would
+    # implicitly cast to double and yield NULL); the oracle resolves ties
+    # the same way
     return pairs.agg(
-        F.max_by(
+        F.min_by(
             F.struct("id_a", "id_b"),
             F.struct(
-                F.col("similarity"),
-                (-F.col("id_a")).alias("na"),
-                (-F.col("id_b")).alias("nb"),
+                (-F.col("similarity")).alias("ns"),
+                F.col("id_a"),
+                F.col("id_b"),
             ),
         ).alias("most_similar"),
         F.min_by(
@@ -572,11 +585,19 @@ def head_tail_similar(
     num_dissimilar: int = 5,
     order_col: str = "similarity",
     tiebreak_cols: tuple[str, ...] = (),
+    key_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """O5: head/tail slice by similarity
     (/root/reference/src/embedding_analyzer.py:329-333).
 
     ``tiebreak_cols`` make the slice deterministic under equal scores.
+
+    SET semantics: the head and tail slices are unioned and deduplicated, so
+    fully-identical input rows collapse to one (unlike the r1 window form,
+    which preserved multiplicity). The dedup groups on ``key_cols`` when
+    given (use this when ``scored`` carries non-groupable column types like
+    ``map``, or when duplicate rows must be distinguishable by a key);
+    with the default ``None`` it groups on EVERY column.
 
     Plan shape: two ``orderBy().limit(k)`` slices — each a
     TakeOrderedAndProject (per-partition heap of k rows + driver merge) —
@@ -597,8 +618,19 @@ def head_tail_similar(
     # a row in BOTH slices (table smaller than num_similar+num_dissimilar)
     # must surface once, labeled 'similar' — max() works because
     # 'similar' > 'dissimilar' lexically; the groupBy runs over ≤ 2k rows
+    group_cols = list(key_cols) if key_cols is not None else list(scored.columns)
+    unioned = top.unionByName(bot)
+    if key_cols is not None:
+        # keep one representative row per key: any_value is deterministic
+        # here because rows sharing a key within the ≤2k-row union are
+        # either identical or resolved by the side label below
+        keep = [c for c in scored.columns if c not in group_cols]
+        return unioned.groupBy(*group_cols).agg(
+            *[F.any_value(c).alias(c) for c in keep],
+            F.max("side").alias("side"),
+        ).select(*scored.columns, "side")
     return (
-        top.unionByName(bot)
-        .groupBy(*scored.columns)
+        unioned
+        .groupBy(*group_cols)
         .agg(F.max("side").alias("side"))
     )

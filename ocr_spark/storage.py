@@ -108,6 +108,12 @@ class Catalog:
         bucket-partitioned tables; the layout and touched-partition math are
         identical. Read the table back with :meth:`read_bucketed`.
 
+        Duplicate keys WITHIN ``updates`` are resolved like
+        :meth:`merge_upsert`: ``dropDuplicates(key_cols)`` keeps an
+        arbitrary-but-stable single row per key (the unique-key contract the
+        reference's UPSERT relies on); conflicting duplicate update rows are
+        NOT an error — dedupe upstream if last-writer-wins ordering matters.
+
         Atomicity is per-partition (Spark's commit protocol swaps each
         ``__kb=N`` directory); a crash mid-merge can leave some buckets
         merged and others not, but every bucket is internally consistent and
@@ -153,12 +159,28 @@ class Catalog:
                     cols.append(col)
         return cols
 
+    @staticmethod
+    def _check_snapshot_name(snapshot_name: str) -> None:
+        """Snapshot names become path components: reject separators and
+        traversal so a name can never escape the ``__snapshots__`` tree."""
+        if (
+            not snapshot_name
+            or "/" in snapshot_name
+            or "\\" in snapshot_name
+            or snapshot_name in (".", "..")
+        ):
+            raise ValueError(
+                f"invalid snapshot name {snapshot_name!r}: must be a single "
+                "non-empty path component (no '/', '\\', '.' or '..')"
+            )
+
     def snapshot(self, name: str, snapshot_name: str) -> str:
         """CTAS-style snapshot of a table's CURRENT contents, PRESERVING its
         partition layout (a bucketed table restores bucketed, so
         merge_upsert_bucketed keeps working after a restore). Re-snapshotting
         the same name overwrites (idempotent). On Iceberg this becomes a
         zero-copy tag/branch; here it is a parquet copy through Spark."""
+        self._check_snapshot_name(snapshot_name)
         snap = f"__snapshots__/{name}/{snapshot_name}"
         os.makedirs(os.path.dirname(self.path(snap)), exist_ok=True)
         w = self.read(name).write.mode("overwrite")
@@ -181,6 +203,7 @@ class Catalog:
         materialized to a staging dir, then swapped in with two renames
         (same crash contract as merge_upsert). The snapshot itself is
         untouched, so restore is repeatable."""
+        self._check_snapshot_name(snapshot_name)
         snap = f"__snapshots__/{name}/{snapshot_name}"
         if not self.exists(snap):
             raise FileNotFoundError(f"no snapshot {snapshot_name!r} for table {name!r}")

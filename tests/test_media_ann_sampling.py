@@ -276,6 +276,43 @@ def test_blocked_allpairs_matches_expression_path(spark):
         assert abs(expr[k] - blocked[k]) < 1e-9
 
 
+def test_extreme_pair_tiebreak_is_deterministic_for_string_ids(spark):
+    """The most-similar tiebreak negates SIMILARITY, not the ids — with
+    string ids a negated id would cast to double → NULL and make tie
+    resolution nondeterministic. Duplicate vectors force similarity-1.0
+    ties; the winner must be the smallest (id_a, id_b) pair."""
+    from ocr_spark.operators.similarity import most_least_similar_pair
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    anti = [-1.0, -2.0, -3.0, -4.0]
+    rows = [(f"doc_{i:02d}", vec) for i in range(4)] + [("doc_99", anti)]
+    emb = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    out = most_least_similar_pair(emb, n_blocks=2, id_type="string").collect()[0]
+    assert (out.most_similar.id_a, out.most_similar.id_b) == ("doc_00", "doc_01")
+    assert abs(out.max_similarity - 1.0) < 1e-12
+    assert abs(out.min_similarity - (-1.0)) < 1e-12
+
+
+def test_head_tail_key_cols_dedup(spark):
+    """key_cols dedups on the key subset (needed when rows carry
+    non-groupable types); overlap rows label 'similar' and the output
+    schema matches the input + side."""
+    from ocr_spark.operators.similarity import head_tail_similar
+
+    rows = [(i, float(i), {"k": str(i)}) for i in range(4)]
+    scored = spark.createDataFrame(rows, ["doc_id", "similarity", "meta"])
+    # num_similar + num_dissimilar > table size → every row in both slices;
+    # the map-typed column would fail a groupBy-all-columns dedup
+    out = head_tail_similar(
+        scored, num_similar=3, num_dissimilar=3,
+        tiebreak_cols=("doc_id",), key_cols=("doc_id",),
+    )
+    got = {r.doc_id: r.side for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "similarity", "meta", "side"}
+    assert got[3] == "similar" and got[0] == "dissimilar"
+    assert len(got) == 4  # one row per key, overlaps collapsed
+
+
 def test_ann_partitioning_invariant(spark):
     emb = _emb_df(spark)
     qs = emb.filter(F.col("doc_id") < 2).select(

@@ -106,6 +106,27 @@ def test_allpairs_norms_stay_below_the_join(spark):
     assert plan[:join_pos].count("SQRT") == 0  # nothing pair-level
 
 
+def test_no_operator_path_imports_the_normalize_footgun():
+    """functions.vectors.normalize recomputes the O(dim) norm per ELEMENT
+    (Catalyst re-inlines aliased exprs into HOF lambdas — no CSE there), so
+    it is O(dim²)/row; every operator path must use unit_vector instead.
+    Source-level pin so a future caller can't silently pick the slow form."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "ocr_spark"
+    pat = re.compile(
+        r"from ocr_spark\.functions\.vectors import[^\n]*\bnormalize\b"
+        r"|vectors\.normalize\b"
+    )
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if p.name != "vectors.py" and pat.search(p.read_text())
+    ]
+    assert not offenders, f"O(dim²) normalize used outside vectors.py: {offenders}"
+
+
 def test_media_meta_is_python_free(spark):
     """The metadata-only media query must stay on the native byte-stat path:
     no Arrow/Python stage may ship multi-KB blobs out of the JVM (the r1

@@ -207,6 +207,22 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
         cat.restore("scores", "nope")
 
 
+def test_snapshot_name_rejects_path_escape(spark, tmp_path):
+    """Snapshot names become path components; separators and traversal
+    would escape the __snapshots__ tree — both snapshot and restore must
+    refuse them before touching the filesystem."""
+    from ocr_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t0 = spark.range(3).select(F.col("id").alias("k"))
+    cat.write(t0, "scores")
+    for bad in ("a/b", "..", ".", "", "a\\b", "../../etc"):
+        with pytest.raises(ValueError):
+            cat.snapshot("scores", bad)
+        with pytest.raises(ValueError):
+            cat.restore("scores", bad)
+
+
 def test_snapshot_restore_preserves_bucketed_layout(spark, tmp_path):
     """Restoring a bucketed table must keep its __kb partition layout so a
     subsequent merge_upsert_bucketed stays partition-local and the directory
