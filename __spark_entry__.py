@@ -1099,19 +1099,38 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full extraction pipeline over synthesized spans; the oracle
-    re-derives per-doc span counts + kind distribution (span *count* is an
-    invariant of extraction on this corpus — no word matches a figure-ref
-    pattern, so no split/promotion; text rewrites are pinned by
-    markdown_render and the t4/t5/t6 gates instead)."""
+    """Flagship: full extraction pipeline over synthesized spans, VALUE-exact.
+
+    ``span_hash`` is md5 over the canonical serialization of the extracted
+    span sequence — every (kind, text, media_ref, offset) in order, fields
+    joined by chr(31), spans by chr(30) — so the BASELINE.json span-sequence
+    invariant itself sits under the driver gate (the r2 oracle checked only
+    counts). The DuckDB twin recomputes each span's post-extraction text
+    with the SAME generated math+layout regex chains the t4/t6 oracles use
+    (non-media spans: layout(math(word)); media spans pass through
+    unchanged), then hashes the identical serialization. Counts stay as
+    secondary columns."""
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
     stages = run_pipeline(docs, dim=64)
     ext = stages["extracted"]
+    ser = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat(
+                s["kind"], F.lit("\x1f"),
+                s["text"], F.lit("\x1f"),
+                F.coalesce(s["media_ref"], F.lit("")), F.lit("\x1f"),
+                s["offset"].cast("string"),
+            ),
+        ),
+        "\x1e",
+    )
     return ext.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
         F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
         F.size(F.filter("spans", lambda s: s["kind"] == "heading")).alias("n_headings"),
+        F.md5(ser).alias("span_hash"),
     )
 
 
@@ -2141,17 +2160,34 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_regions
         from numbered group by doc_id
     """
-    # The extraction pipeline rewrites span TEXT (math/layout chains) but —
-    # verified against the corpus: no word matches a figure-ref pattern, so no
-    # span is ever split or media-promoted — per-doc span counts and kind
-    # distribution are invariants derivable straight from _SPAN_KIND_SQL.
+    # VALUE-exact flagship oracle: recompute every extracted span's text with
+    # the same generated math+layout chains the t4/t6 oracles use (media
+    # spans pass through untouched), then md5 the canonical serialization of
+    # the whole (kind, text, media_ref, offset) sequence in order. Offsets
+    # re-densify to pos-1 because no corpus word matches a figure-ref
+    # pattern (no split/promotion) — and the HASH now catches it if that
+    # property ever breaks, unlike the r2 count-only oracle.
+    _EXTRACTED_WORD_SQL = _layout_chain_sql(_math_chain_sql("word"))
     sql["extraction_pipeline"] = f"""
-        {_WORDS_CTE}
+        {_WORDS_CTE},
+        spans as (
+          select doc_id, pos,
+                 ({_SPAN_KIND_SQL}) as kind,
+                 case when ({_SPAN_KIND_SQL}) = 'media' then word
+                      else {_EXTRACTED_WORD_SQL} end as text,
+                 case when ({_SPAN_KIND_SQL}) = 'media'
+                      then 'img://' || doc_id || '/' || pos end as media_ref
+          from words
+        )
         select doc_id,
                cast(count(*) as int) as n_spans,
-               cast(sum(case when ({_SPAN_KIND_SQL}) = 'media' then 1 else 0 end) as int) as n_media,
-               cast(sum(case when ({_SPAN_KIND_SQL}) = 'heading' then 1 else 0 end) as int) as n_headings
-        from words group by doc_id
+               cast(sum(case when kind = 'media' then 1 else 0 end) as int) as n_media,
+               cast(sum(case when kind = 'heading' then 1 else 0 end) as int) as n_headings,
+               md5(string_agg(kind || chr(31) || text || chr(31) ||
+                              coalesce(media_ref, '') || chr(31) ||
+                              cast(pos - 1 as varchar),
+                              chr(30) order by pos)) as span_hash
+        from spans group by doc_id
     """
     # The embedding stage's numpy draw has no SQL twin (pytest pins it against
     # a numpy oracle); the SQL-checkable contract is exactly-one unit record
