@@ -19,6 +19,7 @@ Scale notes
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve from here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -381,8 +382,12 @@ def ivf_topk_per_query(
       reproducible in plain SQL for the oracle. ``id_col`` must be numeric
       (pre-hash string ids). A kmeans|| refinement can replace the picker
       without plan changes.
-    * **Assignment**: every vector goes to its max-cosine centroid
-      (broadcast centroid array, native ``max_by``).
+    * **Assignment**: every vector goes to its max-cosine centroid. The
+      centroids ride in as ONE broadcast row holding
+      ``array<struct<cell,cvec>>`` (broadcast nested-loop crossJoin — no
+      shuffle, no plan literals), so the plan stays flat at production dims
+      (lists=100 × dim=1536); see :func:`make_ivf_assign_blas_udf` for the
+      BLAS fast path when per-row HOF eval itself is the bottleneck.
     * **Search**: a query probes its ``n_probe`` nearest cells; exact cosine
       rescoring + ranking runs only inside those cells.
     Shuffle profile: one groupBy on cell id; candidate volume is
@@ -394,22 +399,31 @@ def ivf_topk_per_query(
     cent_rows = [
         {"cell": i, "cvec": r["cvec"]} for i, r in enumerate(cent_rows)
     ]
+    spark = embeddings.sparkSession
 
-    def _cent_arr(rows) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(r["cell"]).alias("cell"),
-                    F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-                )
-                for r in rows
-            ]
+    def _cents_one_row(rows) -> DataFrame:
+        """The centroid table COLLAPSED to one row holding
+        array<struct<cell,cvec>> — broadcast-crossJoined below, so the
+        centroids enter the plan as a COLUMN, never as literal expressions.
+        The r2 form embedded n_cells x dim F.lit nodes per probe expression:
+        fine at 16x64, a plan-compile/eval blowup at the reference's
+        pgvector config (lists=100 x dim=1536 ~ 150k literals,
+        /root/reference/src/db_utils.py:104-107). Array order inside the
+        row is irrelevant: ranking sorts by (neg_sim, cell)."""
+        df = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows],
+            "cell int, cvec array<double>",
+        )
+        return df.agg(
+            F.collect_list(F.struct("cell", "cvec")).alias("__cents")
         )
 
-    def _best_cells(vec: Column, n: int, cent_arr: Column) -> Column:
-        """cells of the n nearest centroids, as array<int> (native sort)."""
+    def _best_cells(vec: Column, n: int) -> Column:
+        """cells of the n nearest centroids, as array<int> (native sort).
+        Same per-element cosine fold as r2 — numerics (and oracle parity)
+        unchanged; only where the centroid array COMES FROM changed."""
         scored = F.transform(
-            cent_arr,
+            F.col("__cents"),
             lambda c: F.struct(
                 (-cosine_similarity(vec, c["cvec"])).alias("neg_sim"),
                 c["cell"].alias("cell"),
@@ -419,12 +433,21 @@ def ivf_topk_per_query(
             F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
         )
 
+    def _with_cells(df: DataFrame, vec: Column, n: int, rows) -> DataFrame:
+        """df + the n best cells per row via ONE broadcast nested-loop join
+        against the single-row centroid table: narrow (no shuffle), flat
+        plan at any (n_cells, dim)."""
+        return (
+            df.crossJoin(F.broadcast(_cents_one_row(rows)))
+            .withColumn("__cells", _best_cells(vec, n))
+            .drop("__cents")
+        )
+
     for _ in range(refine_iters):
         # one Lloyd iteration: assign all vectors, mean per (cell, component)
-        arr = _cent_arr(cent_rows)
-        assigned_it = embeddings.withColumn(
-            "cell", F.element_at(_best_cells(F.col(vec_col), 1, arr), 1)
-        )
+        assigned_it = _with_cells(
+            embeddings, F.col(vec_col), 1, cent_rows
+        ).withColumn("cell", F.element_at("__cells", 1))
         means = (
             assigned_it.select("cell", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
             .groupBy("cell", "__i")
@@ -440,13 +463,12 @@ def ivf_topk_per_query(
             for j, (_, comps) in enumerate(sorted(by_cell.items()))
         ]
 
-    cent_arr = _cent_arr(cent_rows)
-    assigned = embeddings.withColumn(
-        "cell", F.element_at(_best_cells(F.col(vec_col), 1, cent_arr), 1)
-    )
-    probed = queries.withColumn(
-        "cell", F.explode(_best_cells(F.col(query_vec_col), n_probe, cent_arr))
-    )
+    assigned = _with_cells(embeddings, F.col(vec_col), 1, cent_rows).withColumn(
+        "cell", F.element_at("__cells", 1)
+    ).drop("__cells")
+    probed = _with_cells(
+        queries, F.col(query_vec_col), n_probe, cent_rows
+    ).withColumn("cell", F.explode("__cells")).drop("__cells")
     cand = assigned.join(probed, "cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
@@ -459,6 +481,42 @@ def ivf_topk_per_query(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "similarity", "rank")
     )
+
+
+def make_ivf_assign_blas_udf(cent_rows: list[dict]):
+    """Factory for the BLAS cell-assignment pandas UDF — the throughput path
+    for production IVF configs (lists=100 × dim=1536, the reference's
+    pgvector setup, /root/reference/src/db_utils.py:104-107) where the
+    native per-row HOF cosine fold is interpreter-bound.
+
+    One numpy matmul per Arrow batch against the closure-captured centroid
+    matrix; centroid rows are pre-unit-normalized (row-side norms scale all
+    of a row's cosines equally, so argmax is unaffected). Ties resolve to
+    the smallest cell (argmax returns the first maximum over cells sorted
+    ascending) — the same rule as the native ``array_sort`` ranking.
+    Summation order differs from the sequential fold, so bit-exact parity
+    of near-tied assignments with the SQL oracle is NOT guaranteed — use
+    the native path for oracle-gated runs; the equivalence test pins
+    agreement on a well-separated corpus.
+
+    Factory (not module-level @pandas_udf): DDL-typed module-level pandas
+    UDFs crash on worker import (see operators/embed.py).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows, key=lambda r: r["cell"])
+    cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        sims = m @ mat.T
+        return pd.Series(cells[sims.argmax(axis=1)])
+
+    return _assign
 
 
 def all_pairs_similarity_blocked(

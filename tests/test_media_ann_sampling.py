@@ -256,6 +256,82 @@ def test_ivf_lloyd_refinement(spark):
     assert {(r.query_id, r.doc_id) for r in full} == brute_top
 
 
+def test_ivf_production_dims_plan_stays_flat(spark):
+    """The r2 quantizer embedded n_cells x dim literal nodes per probe
+    expression — a plan-compile/eval blowup at the reference's pgvector
+    config (lists=100 x dim=1536). Centroids now enter as ONE broadcast
+    array column: the smoke must complete and the optimized plan must stay
+    small and literal-free regardless of (n_cells, dim)."""
+    from ocr_spark.operators.similarity import ivf_topk_per_query
+
+    n, dim, n_cells = 150, 1536, 100
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=dim).tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    qs = emb.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk_per_query(emb, qs, n_cells=n_cells, n_probe=4, k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the literal form would be ~150k lit nodes (megabytes of plan text)
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    got = out.collect()
+    assert len(got) > 0
+    brute = {
+        (r.query_id, r.doc_id): r.similarity
+        for r in top_k_per_query(emb, qs, k=n, threshold=-2.0).collect()
+    }
+    for r in got:  # rescoring stays exact at production dims
+        assert abs(brute[(r.query_id, r.doc_id)] - r.similarity) < 1e-12
+
+
+def test_ivf_blas_assignment_matches_native(spark):
+    """The BLAS pandas-UDF assignment (scale path) must agree with the
+    native broadcast-array argmax on a well-separated corpus."""
+    from ocr_spark.operators.similarity import (
+        ivf_centroid_pick,
+        make_ivf_assign_blas_udf,
+    )
+    from ocr_spark.functions.vectors import cosine_similarity
+
+    emb = _emb_df(spark, n=120, dim=16, seed=3)
+    cents = sorted(
+        ivf_centroid_pick(emb, 8).collect(), key=lambda r: (r["__key"], r["__cid"])
+    )
+    cent_rows = [{"cell": i, "cvec": r["cvec"]} for i, r in enumerate(cents)]
+
+    # native argmax via the same one-row broadcast shape the operator uses
+    cents_df = spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["cvec"]]) for r in cent_rows],
+        "cell int, cvec array<double>",
+    ).agg(F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine_similarity(F.col("embedding"), c["cvec"])).alias("ns"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    native = {
+        r.doc_id: r.cell
+        for r in emb.crossJoin(F.broadcast(cents_df))
+        .select(
+            "doc_id",
+            F.element_at(
+                F.transform(F.array_sort(scored), lambda s: s["cell"]), 1
+            ).alias("cell"),
+        )
+        .collect()
+    }
+    blas = {
+        r.doc_id: r.cell
+        for r in emb.select(
+            "doc_id", make_ivf_assign_blas_udf(cent_rows)("embedding").alias("cell")
+        ).collect()
+    }
+    assert native == blas
+
+
 def test_blocked_allpairs_matches_expression_path(spark):
     from ocr_spark.operators.similarity import (
         all_pairs_similarity,
