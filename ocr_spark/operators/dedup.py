@@ -452,6 +452,65 @@ def _check_simhash_recall(max_hamming: int, n_blocks: int) -> None:
         )
 
 
+def _check_simhash_recall_multi(max_hamming: int, n_blocks: int) -> None:
+    """Pair-of-blocks pigeonhole: h differing bits dirty at most h blocks,
+    so ≥2 blocks stay clean — and some PAIR of clean blocks is shared —
+    exactly when h ≤ n_blocks − 2."""
+    if max_hamming > n_blocks - 2:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= max_hamming + 2 "
+            f"for guaranteed pair-index recall (got n_blocks={n_blocks}): "
+            "fewer than two clean blocks would remain, so no block pair is "
+            "guaranteed shared"
+        )
+
+
+def _pair_index_candidates(
+    base: DataFrame, n_blocks: int, width: int, id_col: str = "id"
+) -> DataFrame:
+    """Multi-index SimHash blocking: candidate pairs share at least one
+    clean PAIR of blocks — C(n_blocks, 2) indexes, each keyed by the
+    concatenation of two block values (2·width bits).
+
+    This is the ≥10⁹-doc scale fix for single-block bucketing: one 8-bit
+    block gives only 2⁸ = 256 buckets per index (per-bucket self-joins go
+    quadratic on a large corpus), while a block PAIR gives 2¹⁶ = 65,536
+    buckets per index — bucket occupancy drops ~2^width× at the cost of
+    C(n,2)/n× more index rows. Recall: guaranteed for hamming ≤ n_blocks−2
+    (:func:`_check_simhash_recall_multi`).
+
+    Shuffle shape: ONLY (id, pidx, pkey) rides the explode — Generate
+    copies its child columns into every output row, so carrying a payload
+    (64-int bits array / hash) would materialize C(n,2) copies per doc;
+    payloads rejoin on id AFTER the pair join + dedup. The block values are
+    materialized columns, so the exploded array is cheap (no inferred-
+    filter re-substitution hazard)."""
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i + 1, n_blocks)]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i * n_blocks + j).alias("pidx"),
+                (
+                    F.col(f"block_{i}").cast("long") * F.lit(1 << width)
+                    + F.col(f"block_{j}").cast("long")
+                ).alias("pkey"),
+            )
+            for i, j in pairs
+        ]
+    )
+    ex = base.select(F.col(id_col).alias("id"), F.explode(keys).alias("k")).select(
+        "id", F.col("k.pidx").alias("pidx"), F.col("k.pkey").alias("pkey")
+    )
+    a = ex.select(F.col("id").alias("id_a"), "pidx", "pkey")
+    b = ex.select(F.col("id").alias("id_b"), "pidx", "pkey")
+    return (
+        a.join(b, ["pidx", "pkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit hashes via bit_count(xor)."""
     ca = F.col(a) if isinstance(a, str) else a
@@ -466,9 +525,34 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     n_blocks: int = 4,
+    multi_index: bool = False,
 ) -> DataFrame:
-    _check_simhash_recall(max_hamming, n_blocks)
-    cands = simhash_candidates(df, text_col, id_col, seed, n_blocks)
+    """SimHash near-dup pairs (xxhash64 scale default). ``multi_index=True``
+    switches candidate generation to the pair-of-blocks indexes
+    (:func:`_pair_index_candidates`) — same output set whenever both
+    schemes' recall guards hold, 2^(64/n_blocks)× more buckets per index."""
+    if multi_index:
+        _check_simhash_recall_multi(max_hamming, n_blocks)
+        width = 64 // n_blocks
+        base = df.select(
+            F.col(id_col).alias("id"), simhash64(text_col, seed).alias("sh")
+        )
+        for b in range(n_blocks):
+            base = base.withColumn(
+                f"block_{b}",
+                F.shiftright(F.col("sh"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ),
+            )
+        sh = base.select("id", "sh")
+        cands = (
+            _pair_index_candidates(base, n_blocks, width)
+            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        )
+    else:
+        _check_simhash_recall(max_hamming, n_blocks)
+        cands = simhash_candidates(df, text_col, id_col, seed, n_blocks)
     return (
         cands.withColumn("hamming", hamming64("sh_a", "sh_b"))
         .filter(F.col("hamming") <= max_hamming)
@@ -534,28 +618,50 @@ def simhash_md5_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    multi_index: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs with the md5-portable hash: candidates share at
-    least one 16-bit block (same pigeonhole guarantee as
-    :func:`simhash_candidates` — ≤ n_blocks−1 differing blocks ⇒ some block
-    equal whenever hamming < n_blocks); Hamming verified on the bit arrays.
-    One shuffle on (block, block_val); never all-pairs."""
-    _check_simhash_recall(max_hamming, n_blocks)
+    """SimHash near-dup pairs with the md5-portable hash; Hamming verified
+    on the bit arrays. Never all-pairs.
+
+    ``multi_index=False``: candidates share ≥1 single block (pigeonhole:
+    recall guaranteed for hamming < n_blocks; one shuffle on
+    (block, block_val); 2^(64/n_blocks) buckets per index — only 256 at
+    n_blocks=8, a quadratic hazard at ≥10⁹ docs).
+    ``multi_index=True``: candidates share ≥1 PAIR of blocks
+    (:func:`_pair_index_candidates`; recall for hamming ≤ n_blocks−2;
+    2^(2·64/n_blocks) buckets per index — 65,536 at n_blocks=8). Same
+    output set whenever both recall guards hold."""
     base = simhash_bits_md5(df, text_col, id_col, n_blocks)
-    blocks = base.select(
-        "id",
-        "bits",
-        F.posexplode(
-            F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
-        ).alias("block", "block_val"),
-    )
-    a = blocks.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "block", "block_val")
-    b = blocks.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "block", "block_val")
-    cands = (
-        a.join(b, ["block", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if multi_index:
+        _check_simhash_recall_multi(max_hamming, n_blocks)
+        bits = base.select("id", "bits")
+        cands = (
+            _pair_index_candidates(base, n_blocks, 64 // n_blocks)
+            .join(
+                bits.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a")),
+                "id_a",
+            )
+            .join(
+                bits.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b")),
+                "id_b",
+            )
+        )
+    else:
+        _check_simhash_recall(max_hamming, n_blocks)
+        blocks = base.select(
+            "id",
+            "bits",
+            F.posexplode(
+                F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
+            ).alias("block", "block_val"),
+        )
+        a = blocks.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "block", "block_val")
+        b = blocks.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "block", "block_val")
+        cands = (
+            a.join(b, ["block", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     hamming = F.size(
         F.filter(
             F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda d: d

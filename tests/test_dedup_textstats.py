@@ -110,6 +110,130 @@ def test_simhash_md5_variant_matches_python_oracle(spark, docs_df):
     assert ("b1", "b2") not in pairs
 
 
+def test_simhash_multi_index_matches_single_block(spark, docs_df):
+    """Pair-of-blocks candidates must yield EXACTLY the single-block result
+    set whenever both recall guards hold (the verified pairs are a pure
+    function of the hashes; only candidate pruning differs) — for both the
+    xxhash64 and md5 variants."""
+    from ocr_spark.operators.dedup import simhash_md5_dup_pairs
+
+    single = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(docs_df, max_hamming=12, n_blocks=16).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(
+            docs_df, max_hamming=12, n_blocks=16, multi_index=True
+        ).collect()
+    }
+    assert single == multi and ("a1", "a2") in multi
+
+    single_md5 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_md5_dup_pairs(docs_df, max_hamming=12, n_blocks=16).collect()
+    }
+    multi_md5 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_md5_dup_pairs(
+            docs_df, max_hamming=12, n_blocks=16, multi_index=True
+        ).collect()
+    }
+    assert single_md5 == multi_md5 and ("a1", "a2") in multi_md5
+
+
+def test_simhash_multi_index_recall_guard(spark, docs_df):
+    """h differing bits can dirty h blocks; fewer than 2 clean blocks ⇒ no
+    shared pair is guaranteed — the guard must refuse, not silently miss."""
+    from ocr_spark.operators.dedup import simhash_md5_dup_pairs
+
+    with pytest.raises(ValueError, match="pair-index recall"):
+        simhash_dup_pairs(docs_df, max_hamming=7, n_blocks=8, multi_index=True)
+    with pytest.raises(ValueError, match="pair-index recall"):
+        simhash_md5_dup_pairs(docs_df, max_hamming=15, n_blocks=16, multi_index=True)
+
+
+def test_simhash_pair_index_occupancy_sublinear(spark):
+    """The scale rationale for the multi-index, measured on the gate-shaped
+    smoke corpus (sf0.001 docs + planted near-copies; SimHashes of same-
+    vocabulary docs are CORRELATED, so this is the adversarial case, not
+    the uniform one): pair-of-blocks buckets must be at most half as
+    occupied as single 8-bit blocks and generate at most half the candidate
+    pairs. Measured at 625 docs: max occupancy 172 → 41 (27.5% → 6.6% of
+    the corpus in the hottest bucket), candidates 65,407 → 14,246 (4.6×).
+    On uniform hashes the occupancy ratio approaches 2^width = 256×; the
+    guarantee pinned here is the conservative 2× floor."""
+    import os
+
+    from ocr_spark.operators.dedup import _pair_index_candidates, simhash_bits_md5
+
+    sf = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    un = docs.unionByName(near).withColumn(
+        "doc_id", F.lpad(F.col("doc_id").cast("string"), 7, "0")
+    )
+    n_docs = un.count()
+    n_blocks, width = 8, 8
+    base = simhash_bits_md5(un, n_blocks=n_blocks)
+
+    single_occ = (
+        base.select(
+            F.posexplode(
+                F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
+            ).alias("b", "v")
+        )
+        .groupBy("b", "v")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i * n_blocks + j).alias("pidx"),
+                (
+                    F.col(f"block_{i}").cast("long") * F.lit(1 << width)
+                    + F.col(f"block_{j}")
+                ).alias("pkey"),
+            )
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    )
+    pair_occ = (
+        base.select(F.explode(pair_keys).alias("k"))
+        .groupBy("k.pidx", "k.pkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n_docs > 0
+    assert 2 * pair_occ <= single_occ, (pair_occ, single_occ)
+
+    # candidate volume: pair-index candidates ⊆ never exceed single-block's
+    n_pair_cands = _pair_index_candidates(base, n_blocks, width).count()
+    blocks = base.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), "block", "block_val")
+    b = blocks.select(F.col("id").alias("id_b"), "block", "block_val")
+    n_single_cands = (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .count()
+    )
+    assert 2 * n_pair_cands <= n_single_cands, (n_pair_cands, n_single_cands)
+
+
 def test_with_shingles_materializes_words_once(spark, docs_df):
     """with_shingles must equal word_shingles AND keep the normalize+split
     OUT of the transform lambda: the column-expression form re-inlines the
