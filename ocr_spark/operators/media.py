@@ -40,6 +40,48 @@ def real_decode_unavailable() -> None:
         ) from exc
 
 
+def _real_decode(b: bytes) -> tuple[int, int, str]:
+    """REAL decode — same (width, height, format) contract as
+    :func:`_fake_decode`, backed by PIL. Import lives inside the function so
+    the module (and the UDF factories closing over this symbol) stays
+    importable on workers without PIL; calling it there raises
+    ``NotImplementedError`` instead of failing at import time. Plug into
+    :func:`make_decode_udf` via ``decode_fn=_real_decode`` — zero plan or
+    schema changes (tests/test_codec_seams.py pins both)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding needs PIL; swap point only — this "
+            "environment ships none"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(b)) as im:
+        return im.width, im.height, (im.format or "unknown").lower()
+
+
+def _real_recompress(b: bytes, quality: int) -> bytes:
+    """REAL recompress — same (bytes, quality) → bytes contract as
+    :func:`_fake_recompress`: re-encode as JPEG at ``quality`` via PIL
+    (the reference's ``img.save(..., quality=q)`` loop body,
+    /root/reference/src/gemini_image_analyzer.py:556-565). Plug into
+    :func:`make_resize_udf` via ``recompress_fn=_real_recompress``."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image recompression needs PIL; swap point only — this "
+            "environment ships none"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(b)) as im:
+        out = io.BytesIO()
+        im.convert("RGB").save(out, format="JPEG", quality=quality)
+        return out.getvalue()
+
+
 def synthesize_media_bytes(
     ref_col: Column | str, payload_col: Column | str
 ) -> Column:
@@ -70,13 +112,19 @@ def _fake_decode(b: bytes) -> tuple[int, int, str]:
     return w, h, fmt
 
 
-def make_decode_udf():
+def make_decode_udf(decode_fn=None):
     """Arrow-batched metadata decode over a binary column.
+
+    ``decode_fn`` is the codec seam: any ``bytes → (width, height, format)``
+    callable — defaults to the deterministic :func:`_fake_decode`; pass
+    :func:`_real_decode` on clusters with PIL. The UDF signature, output
+    schema and plan shape are identical either way.
 
     Factory (not a module-level decorator): the worker re-imports this
     module when deserializing by reference, and a module-level
     ``@pandas_udf`` with a DDL-string return type would try to parse the
     type without an active session there."""
+    decode = decode_fn or _fake_decode
 
     @pandas_udf("struct<width:int,height:int,format:string,n_bytes:int>")
     def decode_image_meta(blobs: pd.Series) -> pd.DataFrame:
@@ -85,7 +133,7 @@ def make_decode_udf():
             if b is None:
                 rows.append((None, None, None, None))
                 continue
-            w, h, fmt = _fake_decode(bytes(b))
+            w, h, fmt = decode(bytes(b))
             rows.append((w, h, fmt, len(b)))
         return pd.DataFrame(rows, columns=["width", "height", "format", "n_bytes"])
 
@@ -111,10 +159,16 @@ def _fake_recompress(b: bytes, quality: int) -> bytes:
     return b[: int(len(b) * quality / 100)]
 
 
-def make_resize_udf():
+def make_resize_udf(recompress_fn=None):
     """T11: if bytes > 25,000 — recompress at quality 80→20 step −10 until
     under the cap (taking the q=20 result if none passes), else pass through
-    (/root/reference/src/gemini_image_analyzer.py:536-576)."""
+    (/root/reference/src/gemini_image_analyzer.py:536-576).
+
+    ``recompress_fn`` is the codec seam: any ``(bytes, quality) → bytes``
+    callable — defaults to :func:`_fake_recompress`; pass
+    :func:`_real_recompress` on clusters with PIL. Control flow, schema and
+    plan are identical either way."""
+    recompress = recompress_fn or _fake_recompress
 
     @pandas_udf("struct<data:binary,n_bytes:int,quality:int,resized:boolean>")
     def resize_image_if_needed(blobs: pd.Series) -> pd.DataFrame:
@@ -129,7 +183,7 @@ def make_resize_udf():
                 continue
             out, q_used = b, _QUALITY_STEPS[-1]
             for q in _QUALITY_STEPS:
-                out = _fake_recompress(b, q)
+                out = recompress(b, q)
                 q_used = q
                 if len(out) <= _MAX_BYTES:
                     break

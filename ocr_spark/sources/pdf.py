@@ -48,20 +48,50 @@ def scan_binary_files(spark: SparkSession, path: str,
 def _fake_split_pages(data: bytes) -> list[bytes]:
     """STUB page splitter — deterministic pure function of the bytes: pages
     are form-feed-separated segments. Swap point for a real PDF page
-    iterator (pypdf ``PdfReader(...).pages`` / pdfium)."""
+    iterator (:func:`_real_split_pages` / pdfium)."""
     if data is None:
         return []
     return data.split(PAGE_SEP)
+
+
+def _real_split_pages(data: bytes) -> list[bytes]:
+    """REAL page splitter — same ``bytes → list[bytes]`` contract as
+    :func:`_fake_split_pages`, backed by pypdf: one UTF-8 page-text payload
+    per PDF page (the reference fans one file into per-page artifacts,
+    /root/reference/src/pdf_to_images.py:25-88). The import lives inside
+    the function so the module stays importable on workers without pypdf;
+    calling it there raises ``NotImplementedError``. Plug into
+    :func:`split_pages` via ``page_splitter=_real_split_pages`` — zero plan
+    or schema changes (tests/test_codec_seams.py pins both)."""
+    try:
+        from pypdf import PdfReader
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real PDF page splitting needs pypdf; swap point only — this "
+            "environment ships none"
+        ) from exc
+    import io
+
+    if data is None:
+        return []
+    reader = PdfReader(io.BytesIO(data))
+    return [(p.extract_text() or "").encode("utf-8") for p in reader.pages]
 
 
 def split_pages(
     files: DataFrame,
     content_col: str = "content",
     path_col: str = "path",
+    page_splitter=None,
 ) -> DataFrame:
     """(path, content) → (path, page_no, page:binary, n_bytes) — one row per
     page, page_no 1-based in document order (the reference numbers pages
-    ``i+1``, src/pdf_to_images.py:71-75)."""
+    ``i+1``, src/pdf_to_images.py:71-75).
+
+    ``page_splitter`` is the codec seam: any ``bytes → list[bytes]``
+    callable — defaults to the deterministic :func:`_fake_split_pages`;
+    pass :func:`_real_split_pages` on clusters with pypdf."""
+    splitter = page_splitter or _fake_split_pages
 
     def _pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -69,7 +99,7 @@ def split_pages(
             for path, data in zip(pdf[path_col], pdf[content_col]):
                 if data is None:
                     continue
-                for i, page in enumerate(_fake_split_pages(bytes(data))):
+                for i, page in enumerate(splitter(bytes(data))):
                     paths.append(path)
                     nos.append(i + 1)
                     pages.append(page)
