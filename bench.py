@@ -77,6 +77,31 @@ HEADLINE = [
     "head_tail",
     "weak_questions",
     "vector_norms",
+    # r3: full gate coverage — every queries() entry except the streaming
+    # twins' batch-only flagship (extraction_pipeline, measured separately
+    # on the interleaved corpus above)
+    "t13_question_id",
+    "figure_numbering",
+    "lang_detect",
+    "allpairs_label_counts",
+    "json_props",
+    "customers_without_orders",
+    "parts_multi_cond",
+    "best_stat",
+    "frequent_questions",
+    "union_except",
+    "tag_histogram",
+    "tag_min_years",
+    "json_block",
+    "markdown_render",
+    "base64_mime",
+    "stride_sample",
+    "winnow_overlap",
+    "media_features",
+    "dedup_clusters",
+    "event_windows",
+    "jsonl_roundtrip",
+    "html_blocks",
 ]
 
 
