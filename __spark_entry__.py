@@ -1139,12 +1139,20 @@ def q_extraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding generation; the SQL-checkable contract is exactly one
-    unit-norm record per doc with the declared dim/type (the numpy draw
-    itself is pinned by tests/test_structure_embed.py's numpy oracle)."""
+    unit-norm record per doc with the declared dim/type — the norm itself is
+    value-checked (rounded 4dp; float32 unit vectors deviate ~1e-7). The
+    numpy draw is pinned by tests/test_structure_embed.py's numpy oracle."""
+    from ocr_spark.functions.vectors import l2_norm
+
     docs = _spans_from_documents(_docs_table(spark, sf_dir))
     stages = run_pipeline(docs, dim=64)
     emb = stages["embeddings"]
-    return emb.select("doc_id", F.size("embedding").alias("dim"), "embedding_type")
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        "embedding_type",
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2196,7 +2204,8 @@ def oracle_sql() -> dict[str, str]:
     # a numpy oracle); the SQL-checkable contract is exactly-one unit record
     # per doc with the declared dim and type.
     sql["embeddings_pipeline"] = """
-        select doc_id, cast(64 as int) as dim, 'text' as embedding_type
+        select doc_id, cast(64 as int) as dim, 'text' as embedding_type,
+               cast(1.0 as double) as norm
         from documents
     """
     return sql
