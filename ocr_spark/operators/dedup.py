@@ -571,11 +571,12 @@ def simhash_bits_md5(
     a function both Spark and DuckDB evaluate identically (unlike xxhash64,
     which only Spark has — :func:`simhash64` stays the faster scale default).
 
-    Scale shape mirrors :func:`minhash_signatures`: words are EXPLODED and
-    md5 is a materialized column, so each word hashes once; the 64 bit
-    counters come from map-side-combined conditional sums (the shuffle
-    carries 64 ints per doc); bit tests are native shift/mask over the hex
-    digits — no HOF-lambda re-evaluation, no Python."""
+    Scale shape mirrors :func:`minhash_signatures`: words are EXPLODED, the
+    hash parses into two materialized 32-bit halves per word, and the 64
+    bit counters come from map-side-combined conditional sums (the shuffle
+    carries 64 ints per doc); bit tests are pure integer shift/mask on the
+    halves — no per-bit string parsing, no HOF-lambda re-evaluation, no
+    Python."""
     width = 64 // n_blocks
     # outer: avoids the optimizer's inferred size()>0 filter re-evaluating
     # the split per row (split of normalized text is never empty)
@@ -583,15 +584,21 @@ def simhash_bits_md5(
         F.col(id_col).alias("id"),
         F.explode_outer(F.split(normalized_text(text_col), " ")).alias("w"),
     )
-    hexed = exploded.select("id", F.md5("w").alias("h"))
+    # the 64-bit value splits into two 32-bit halves parsed ONCE per word
+    # (r2 ran substring+conv per BIT — 64 string parses per occurrence; this
+    # is 2, with the per-bit tests pure integer shift/mask on the halves).
+    # hex digit k (1-based from the left) holds bits j with 16 - j//4 == k,
+    # so digits 9..16 are the LOW half (bits 0..31) and 1..8 the HIGH
+    # (bits 32..63) — same bit numbering as before, identical counters.
+    hexed = exploded.select(
+        "id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
 
     def _bit(j: int) -> Column:
-        # bit j of the 64-bit value = hex digit (15 - j//4) from the left,
-        # shifted by j%4 — conv() on one hex char; DuckDB mirrors it with
-        # strpos('0123456789abcdef', digit) - 1
-        digit = F.substring("h", 16 - j // 4, 1)
-        val = F.conv(digit, 16, 10).cast("int")
-        return F.shiftright(val, j % 4).bitwiseAND(F.lit(1))
+        src = F.col("__lo") if j < 32 else F.col("__hi")
+        return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
 
     counters = hexed.groupBy("id").agg(
         *[

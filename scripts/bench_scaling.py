@@ -27,9 +27,11 @@ _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
+from ocr_spark.operators.boilerplate import strip_boilerplate
 from ocr_spark.operators.extract import extract_docs, render_markdown
 from ocr_spark.operators.dedup import minhash_lsh_candidates
 from ocr_spark.operators.embed import make_embedding_udf
+from ocr_spark.operators.layout import assemble_reading_order, detect_regions
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
 
@@ -59,18 +61,39 @@ emb_udf = make_embedding_udf(64)
 emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
 qs = emb.limit(3).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec"))
 
+# north-rule W1/W2 inputs are MATERIALIZED parquet (built once by the
+# parent at full parallelism): the timed job is the operator itself, not a
+# re-run of the extract+render upstream (which has its own row above) —
+# otherwise the operators are a small tail on a 58 s upstream and the
+# efficiency reading is mostly noise.
+html = spark.read.parquet(corpus + "_html")
+tokens = spark.read.parquet(corpus + "_tokens")
+
 JOBS = {{
     "extract": lambda: extract_docs(docs),
     "dedup": lambda: minhash_lsh_candidates(texts, n_hashes=32, n_bands=8),
     "ann": lambda: ann_topk_per_query(emb, qs, dim=64, k=10, n_planes=8, n_bands=2,
                                       id_col="doc_id"),
+    "boilerplate": lambda: strip_boilerplate(html),
+    "layout": lambda: assemble_reading_order(
+        detect_regions(tokens, column_width=400.0, gap_threshold=30.0)
+    ),
 }}
 n_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
+_only = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
+if _only:
+    JOBS = {{k: v for k, v in JOBS.items() if k in _only.split(",")}}
 out = {{"cores": cores}}
 for name, mk in JOBS.items():
     force(mk())  # warm-up: codegen + JIT
     times = []
-    reps = n_repeats if name == "extract" else max(2, n_repeats - 2)
+    # short materialized-input jobs get full repeats (host-noise robustness);
+    # the long composite dedup/ann legs keep the reduced count
+    reps = (
+        n_repeats
+        if name in ("extract", "boilerplate", "layout")
+        else max(2, n_repeats - 2)
+    )
     for _ in range(reps):
         t0 = time.perf_counter()
         force(mk())
@@ -82,9 +105,10 @@ n_docs = docs.count()
 n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
 out["n_docs"] = n_docs
 out["n_spans"] = int(n_spans)
-out["sec"] = out["extract"]["sec"]
-out["all_runs"] = out["extract"]["all_runs"]
-out["docs_per_sec"] = round(n_docs / out["extract"]["sec"], 1)
+if "extract" in out:
+    out["sec"] = out["extract"]["sec"]
+    out["all_runs"] = out["extract"]["all_runs"]
+    out["docs_per_sec"] = round(n_docs / out["extract"]["sec"], 1)
 print(json.dumps(out))
 """
 
@@ -118,14 +142,57 @@ def main() -> None:
         ).format(repo=REPO, n=n_docs, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
+    if not os.path.exists(os.path.join(corpus + "_tokens", "_SUCCESS")):
+        # one-time derived-input materialization (full parallelism; cost is
+        # setup, not measurement): gate-shaped HTML pages + planted
+        # two-column page geometry over the rendered corpus
+        gen2 = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from ocr_spark.session import get_spark\n"
+            "from ocr_spark.operators.extract import extract_docs, render_markdown\n"
+            "from pyspark.sql import functions as F\n"
+            "spark = get_spark(master='local[32]')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "docs = spark.read.parquet({corpus!r})\n"
+            "texts = render_markdown(extract_docs(docs)).select('doc_id', F.col('content').alias('text'))\n"
+            "html = texts.select('doc_id', F.concat(\n"
+            "    F.lit('<nav><a href=\"#\">Home</a> <a href=\"#\">About</a> <a href=\"#\">Contact</a></nav><h1>'),\n"
+            "    F.col('doc_id'), F.lit(' heading line</h1><p>'), F.col('text'),\n"
+            "    F.lit('</p><p>tiny</p><div>More <a href=\"#\">link one</a> <a href=\"#\">link two</a> txt</div>'\n"
+            "          '<footer><a href=\"#\">Privacy</a> | <a href=\"#\">Terms</a></footer>')).alias('html'))\n"
+            "html.write.mode('overwrite').parquet({corpus!r} + '_html')\n"
+            "w = texts.select('doc_id', F.posexplode(F.split('text', ' ')).alias('pos0', 'token'))\n"
+            "p0, blk = F.col('pos0'), F.floor(F.col('pos0') / 12)\n"
+            "tok = w.select('doc_id',\n"
+            "    ((blk % 2) * 400 + (p0 % 4) * 50).cast('double').alias('x'),\n"
+            "    (F.floor(blk / 2) * 100 + F.floor((p0 % 12) / 4) * 12).cast('double').alias('y'),\n"
+            "    'token')\n"
+            "# 4x doc replication: the isolated layout job must be work-\n"
+            "# dominated (>=30 s at 4N), not fixed-overhead-dominated\n"
+            "tok4 = None\n"
+            "for i in range(4):\n"
+            "    rep = tok.withColumn('doc_id', F.concat('doc_id', F.lit(f'#r{{i}}')))\n"
+            "    tok4 = rep if tok4 is None else tok4.unionByName(rep)\n"
+            "tok4.write.mode('overwrite').parquet({corpus!r} + '_tokens')\n"
+        ).format(repo=REPO, corpus=corpus)
+        subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
+
     n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     low = run_level(n_cores, corpus)
     high = run_level(4 * n_cores, corpus)
-    eff = (high["docs_per_sec"] / low["docs_per_sec"]) / 4.0
+    jobs_run = [
+        j
+        for j in ("extract", "dedup", "ann", "boilerplate", "layout")
+        if j in low and j in high
+    ]
     job_eff = {
-        j: round((low[j]["sec"] / high[j]["sec"]) / 4.0, 3)
-        for j in ("extract", "dedup", "ann")
+        j: round((low[j]["sec"] / high[j]["sec"]) / 4.0, 3) for j in jobs_run
     }
+    if "extract" not in jobs_run:
+        print(json.dumps({"jobs": jobs_run, "job_efficiency": job_eff,
+                          "n": low, "4n": high}))
+        return
+    eff = (high["docs_per_sec"] / low["docs_per_sec"]) / 4.0
     result = {
         "n": low, "4n": high,
         "scaling_efficiency": round(eff, 3),
@@ -161,9 +228,12 @@ Non-extraction scale paths, same protocol (best-of-runs, warmed):
 |---|---|---|---|
 | minhash-LSH dedup candidates | {low["dedup"]["sec"]} | {high["dedup"]["sec"]} | {job_eff["dedup"]} |
 | ANN top-k (random projection) | {low["ann"]["sec"]} | {high["ann"]["sec"]} | {job_eff["ann"]} |
+| HTML boilerplate strip (W1) | {low["boilerplate"]["sec"]} | {high["boilerplate"]["sec"]} | {job_eff["boilerplate"]} |
+| layout regions + reading order (W2) | {low["layout"]["sec"]} | {high["layout"]["sec"]} | {job_eff["layout"]} |
 
 All runs (sec): local[{low["cores"]}] {low["all_runs"]}, local[{high["cores"]}] {high["all_runs"]};
-dedup {low["dedup"]["all_runs"]} vs {high["dedup"]["all_runs"]}; ann {low["ann"]["all_runs"]} vs {high["ann"]["all_runs"]}.
+dedup {low["dedup"]["all_runs"]} vs {high["dedup"]["all_runs"]}; ann {low["ann"]["all_runs"]} vs {high["ann"]["all_runs"]};
+boilerplate {low["boilerplate"]["all_runs"]} vs {high["boilerplate"]["all_runs"]}; layout {low["layout"]["all_runs"]} vs {high["layout"]["all_runs"]}.
 
 Notes
 -----

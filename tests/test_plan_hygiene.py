@@ -98,12 +98,28 @@ def test_north_rule_ops_have_no_single_partition_exchange(spark):
 def test_allpairs_norms_stay_below_the_join(spark):
     """Pre-normalization must survive optimization: exactly one SQRT per
     side, both BELOW the join — none in the pair-level filter (which would
-    mean O(n²) norm recomputation)."""
-    df = entry_mod.queries()["allpairs_label_counts"](spark, SF_DIR)
+    mean O(n²) norm recomputation). Pinned on the expression-path operator
+    directly (the allpairs gate itself now runs the blocked-matmul path)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import all_pairs_similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    df = all_pairs_similarity(emb, threshold=0.25)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     join_pos = plan.find("Join")
     assert plan.count("SQRT") == 2, plan[:1200]
     assert plan[:join_pos].count("SQRT") == 0  # nothing pair-level
+
+
+def test_allpairs_gate_routes_through_blocked_matmul(spark):
+    """The label-counts gate must use the blocked-BLAS pair source (one
+    matmul per block-pair task), not the per-pair expression cross join."""
+    plan = _plan(spark, "allpairs_label_counts")
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
 
 
 def test_no_operator_path_imports_the_normalize_footgun():
