@@ -222,7 +222,8 @@ forced via noop sink; best of 5 timed runs after a full warm-up pass.
 
 **Scaling efficiency (tp_4N / tp_N) / 4 = {eff:.3f}** — {"PASSES" if eff >= 0.8 else "FAILS"} the >=0.8 requirement.
 
-Non-extraction scale paths, same protocol (best-of-runs, warmed):
+Non-extraction scale paths, same protocol (best-of-runs, warmed; the
+W1/W2 rows time the operators in isolation on materialized inputs):
 
 | job | local[{low["cores"]}] sec | local[{high["cores"]}] sec | efficiency |
 |---|---|---|---|
