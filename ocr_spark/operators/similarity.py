@@ -466,9 +466,16 @@ def ivf_topk_per_query(
     assigned = _with_cells(embeddings, F.col(vec_col), 1, cent_rows).withColumn(
         "cell", F.element_at("__cells", 1)
     ).drop("__cells")
+    # explode_outer, NOT explode: plain explode makes the optimizer infer a
+    # size(__cells)>0 filter and push it below the projection, re-substituting
+    # the full _best_cells centroid-scoring expression (the O(n_cells x dim)
+    # fold this broadcast-column design exists to evaluate ONCE per row) — the
+    # inferred-filter pitfall pinned in tests/test_plan_hygiene.py. __cells is
+    # provably non-empty (slice of the sorted non-empty centroid array), so
+    # the outer form is semantics-identical.
     probed = _with_cells(
         queries, F.col(query_vec_col), n_probe, cent_rows
-    ).withColumn("cell", F.explode("__cells")).drop("__cells")
+    ).withColumn("cell", F.explode_outer("__cells")).drop("__cells")
     cand = assigned.join(probed, "cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
@@ -508,12 +515,24 @@ def make_ivf_assign_blas_udf(cent_rows: list[dict]):
     rows = sorted(cent_rows, key=lambda r: r["cell"])
     cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    # a zero-norm centroid (possible from caller-supplied centroids) would
+    # normalize to a NaN row, and NaN wins argmax — silently assigning EVERY
+    # vector to the bogus cell. Leave such rows at norm 1 and force their
+    # sims to -inf so they can never be chosen, matching the native path's
+    # "zero centroid ranks last" behavior.
+    zero_mask = (norms == 0.0).ravel()
+    norms[zero_mask] = 1.0
+    mat /= norms
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype="int32")
         m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         sims = m @ mat.T
+        if zero_mask.any():
+            sims[:, zero_mask] = -np.inf
         return pd.Series(cells[sims.argmax(axis=1)])
 
     return _assign
@@ -538,8 +557,6 @@ def all_pairs_similarity_blocked(
     set is two blocks — size n/n_blocks to fit executor memory at any corpus
     size. Output pairs are oriented min(id) < max(id).
     """
-    import pandas as pd
-
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -679,14 +696,30 @@ def head_tail_similar(
     group_cols = list(key_cols) if key_cols is not None else list(scored.columns)
     unioned = top.unionByName(bot)
     if key_cols is not None:
-        # keep one representative row per key: any_value is deterministic
-        # here because rows sharing a key within the ≤2k-row union are
-        # either identical or resolved by the side label below
-        keep = [c for c in scored.columns if c not in group_cols]
-        return unioned.groupBy(*group_cols).agg(
-            *[F.any_value(c).alias(c) for c in keep],
-            F.max("side").alias("side"),
-        ).select(*scored.columns, "side")
+        # keep one representative row per key, chosen ATOMICALLY: a single
+        # max_by over the whole remaining row guarantees the output is an
+        # actual input row (per-column any_value could stitch a chimera from
+        # different rows when distinct rows share a key across the two
+        # slices). Ordering: 'similar' side wins ('similar' > 'dissimilar'
+        # lexically), then order_col desc, then tiebreak_cols — pass
+        # tiebreak_cols that disambiguate duplicate keys within a side for
+        # full determinism.
+        keep = [c for c in scored.columns if c not in group_cols] + ["side"]
+        ordering = F.struct(
+            F.col("side"),
+            F.col(order_col),
+            *[F.col(c) for c in tiebreak_cols],
+        )
+        rep = unioned.groupBy(*group_cols).agg(
+            F.max_by(F.struct(*keep), ordering).alias("__rep")
+        )
+        return rep.select(
+            *[
+                F.col(c) if c in group_cols else F.col("__rep")[c].alias(c)
+                for c in scored.columns
+            ],
+            F.col("__rep")["side"].alias("side"),
+        )
     return (
         unioned
         .groupBy(*group_cols)

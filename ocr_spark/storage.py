@@ -43,6 +43,23 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
+        """Resolve a table name under the catalog root. Names may contain
+        ``/`` (internal nested layouts like ``__snapshots__/<table>/<snap>``)
+        but can never escape the root: absolute paths, backslashes, and
+        empty / ``.`` / ``..`` components are rejected. Validating HERE
+        covers every entry point (read/write/drop/merge/snapshot/restore)
+        — the r2 advisor fix only guarded snapshot_name, leaving the table
+        name on the same f-string line as a traversal vector."""
+        if (
+            not name
+            or name.startswith("/")
+            or "\\" in name
+            or any(part in ("", ".", "..") for part in name.split("/"))
+        ):
+            raise ValueError(
+                f"invalid table name {name!r}: must be a relative path with "
+                "no empty, '.' or '..' components"
+            )
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:

@@ -201,6 +201,32 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # the non-extraction section is built from whatever jobs actually ran,
+    # so SPARK_GRAFT_SCALE_JOBS subsets (e.g. just "extract") still produce
+    # a report instead of a KeyError after the timed runs
+    _labels = {
+        "dedup": "minhash-LSH dedup candidates",
+        "ann": "ANN top-k (random projection)",
+        "boilerplate": "HTML boilerplate strip (W1)",
+        "layout": "layout regions + reading order (W2)",
+    }
+    extra_jobs = [j for j in jobs_run if j != "extract"]
+    extra_rows = "\n".join(
+        f"| {_labels[j]} | {low[j]['sec']} | {high[j]['sec']} | {job_eff[j]} |"
+        for j in extra_jobs
+    )
+    extra_runs = "; ".join(
+        f"{j} {low[j]['all_runs']} vs {high[j]['all_runs']}" for j in extra_jobs
+    )
+    extra_section = "" if not extra_jobs else f"""
+Non-extraction scale paths, same protocol (best-of-runs, warmed; the
+W1/W2 rows time the operators in isolation on materialized inputs):
+
+| job | local[{low["cores"]}] sec | local[{high["cores"]}] sec | efficiency |
+|---|---|---|---|
+{extra_rows}
+"""
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/SCALING_RUN.md — latest raw scaling run (curated evidence: BENCH/BASELINE.md)
 
@@ -221,20 +247,8 @@ forced via noop sink; best of 5 timed runs after a full warm-up pass.
 | local[{high["cores"]}] (4N) | {high["sec"]} | {high["docs_per_sec"]:,} | {round(high["n_spans"]/high["sec"]):,} |
 
 **Scaling efficiency (tp_4N / tp_N) / 4 = {eff:.3f}** — {"PASSES" if eff >= 0.8 else "FAILS"} the >=0.8 requirement.
-
-Non-extraction scale paths, same protocol (best-of-runs, warmed; the
-W1/W2 rows time the operators in isolation on materialized inputs):
-
-| job | local[{low["cores"]}] sec | local[{high["cores"]}] sec | efficiency |
-|---|---|---|---|
-| minhash-LSH dedup candidates | {low["dedup"]["sec"]} | {high["dedup"]["sec"]} | {job_eff["dedup"]} |
-| ANN top-k (random projection) | {low["ann"]["sec"]} | {high["ann"]["sec"]} | {job_eff["ann"]} |
-| HTML boilerplate strip (W1) | {low["boilerplate"]["sec"]} | {high["boilerplate"]["sec"]} | {job_eff["boilerplate"]} |
-| layout regions + reading order (W2) | {low["layout"]["sec"]} | {high["layout"]["sec"]} | {job_eff["layout"]} |
-
-All runs (sec): local[{low["cores"]}] {low["all_runs"]}, local[{high["cores"]}] {high["all_runs"]};
-dedup {low["dedup"]["all_runs"]} vs {high["dedup"]["all_runs"]}; ann {low["ann"]["all_runs"]} vs {high["ann"]["all_runs"]};
-boilerplate {low["boilerplate"]["all_runs"]} vs {high["boilerplate"]["all_runs"]}; layout {low["layout"]["all_runs"]} vs {high["layout"]["all_runs"]}.
+{extra_section}
+All runs (sec): local[{low["cores"]}] {low["all_runs"]}, local[{high["cores"]}] {high["all_runs"]}{"; " + extra_runs if extra_runs else ""}.
 
 Notes
 -----

@@ -424,3 +424,57 @@ def test_stride_sample_matches_reference(spark, n, k):
     got = sorted(r.idx for r in stride_sample(df, "doc_id", k=k).collect())
     want = sorted(set(_reference_indices(n, k)))
     assert got == want
+
+def test_head_tail_key_cols_picks_whole_rows(spark):
+    """Duplicate-key rows landing in OPPOSITE slices must resolve to one
+    actual input row (the 'similar'-side one). The first key_cols form
+    aggregated each column independently with any_value, which could stitch
+    a chimera row mixing fields from the two source rows."""
+    from ocr_spark.operators.similarity import head_tail_similar
+
+    rows = [
+        ("d1", 9.9, "metaX"),
+        ("d1", 0.1, "metaY"),
+        ("d2", 5.0, "m2"),
+        ("d3", 4.0, "m3"),
+    ]
+    scored = spark.createDataFrame(rows, ["doc_id", "similarity", "meta"])
+    # head 2 = (d1,9.9),(d2,5.0); tail 2 = (d1,0.1),(d3,4.0): d1 is in both
+    # slices via two DIFFERENT rows
+    out = head_tail_similar(
+        scored, num_similar=2, num_dissimilar=2,
+        tiebreak_cols=("doc_id",), key_cols=("doc_id",),
+    ).collect()
+    got = {r.doc_id: (r.similarity, r.meta, r.side) for r in out}
+    assert got["d1"] == (9.9, "metaX", "similar")  # whole similar-side row
+    assert got["d2"] == (5.0, "m2", "similar")
+    assert got["d3"] == (4.0, "m3", "dissimilar")
+    input_rows = set(rows)
+    for r in out:  # every output row is a genuine input row
+        assert (r.doc_id, r.similarity, r.meta) in input_rows
+
+
+def test_ivf_blas_assignment_ignores_zero_norm_centroid(spark):
+    """A zero-norm centroid (possible from caller-supplied centroid rows)
+    must never win an assignment: the unguarded form normalized it to a NaN
+    row, and NaN wins argmax — silently assigning EVERY vector to the bogus
+    cell. The guard pins its similarities at -inf instead."""
+    from ocr_spark.operators.similarity import make_ivf_assign_blas_udf
+
+    cent_rows = [
+        {"cell": 0, "cvec": [1.0, 0.0]},
+        {"cell": 1, "cvec": [0.0, 0.0]},  # zero norm
+        {"cell": 2, "cvec": [0.0, 1.0]},
+    ]
+    emb = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, [0.1, 3.0]), (3, [-1.0, -1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: r.cell
+        for r in emb.select(
+            "doc_id", make_ivf_assign_blas_udf(cent_rows)("embedding").alias("cell")
+        ).collect()
+    }
+    # doc 3 ties cells 0 and 2 at cosine -0.707…; argmax takes the first
+    assert got == {1: 0, 2: 2, 3: 0}

@@ -131,14 +131,23 @@ def test_no_operator_path_imports_the_normalize_footgun():
     import re
 
     root = pathlib.Path(__file__).resolve().parents[1] / "ocr_spark"
-    pat = re.compile(
-        r"from ocr_spark\.functions\.vectors import[^\n]*\bnormalize\b"
-        r"|vectors\.normalize\b"
+    # capture the whole import body — parenthesized multi-line form included
+    # (the style black produces), which a single-line [^\n]* scan missed —
+    # then look for the name inside it
+    imp = re.compile(
+        r"from ocr_spark\.functions\.vectors import\s*(\([^)]*\)|[^\n]*)"
     )
+    name = re.compile(r"(?<![\w.])normalize\b")
+
+    def _uses_footgun(src: str) -> bool:
+        if re.search(r"vectors\.normalize\b", src):
+            return True
+        return any(name.search(m.group(1)) for m in imp.finditer(src))
+
     offenders = [
         str(p)
         for p in root.rglob("*.py")
-        if p.name != "vectors.py" and pat.search(p.read_text())
+        if p.name != "vectors.py" and _uses_footgun(p.read_text())
     ]
     assert not offenders, f"O(dim²) normalize used outside vectors.py: {offenders}"
 
@@ -150,3 +159,28 @@ def test_media_meta_is_python_free(spark):
     plan = _plan(spark, "media_meta")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan[:1500]
     assert "Exchange" not in plan  # narrow projection, no shuffle either
+
+def test_ivf_probe_explode_has_no_inferred_filter(spark):
+    """The probed-cells explode must not carry the optimizer's inferred
+    size()>0 filter: pushdown re-substitutes the full centroid-scoring fold
+    (lambdas re-inlined — no CSE there) below the projection, doubling the
+    O(n_cells × dim) work per query row. explode_outer on the provably
+    non-empty __cells array generates no such filter, and the Generate must
+    consume __cells as a materialized attribute, not an inlined expression."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import ivf_topk_per_query
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    qs = spark.createDataFrame(rows[:3], "query_id long, query_vec array<double>")
+    df = ivf_topk_per_query(emb, qs, n_cells=4, n_probe=2, k=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().lstrip("+-: ").startswith("Filter"):
+            assert "lambdafunction" not in line, line[:500]
+    gens = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gens, plan[:1500]
+    for g in gens:
+        assert "true" in g.split("],", 1)[-1] or ", true," in g, g  # outer
+        assert "lambdafunction" not in g, g[:500]

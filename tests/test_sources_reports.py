@@ -308,3 +308,26 @@ def test_merge_upsert_bucketed_touches_only_affected_partitions(spark, tmp_path)
     # idempotent re-merge
     cat.merge_upsert_bucketed(updates, "t", ["key"], n_buckets=16)
     assert cat.read_bucketed("t").count() == 1001
+
+
+def test_table_name_rejects_path_escape(spark, tmp_path):
+    """The TABLE name is a path component too (the r2 advisor fix only
+    guarded snapshot_name): every catalog entry point must refuse absolute
+    paths, backslashes, and '.'/'..' components before touching the
+    filesystem. Internal nested names (__snapshots__/t/s) stay legal."""
+    from ocr_spark.storage import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    t0 = spark.range(3).select(F.col("id").alias("k"))
+    cat.write(t0, "scores")
+    for bad in ("../../tmp/evil", "..", "/abs", "a\\b", "a//b", "a/./b", ""):
+        for fn in (
+            lambda: cat.snapshot(bad, "s"),
+            lambda: cat.restore(bad, "s"),
+            lambda: cat.write(t0, bad),
+            lambda: cat.read(bad),
+            lambda: cat.drop(bad),
+        ):
+            with pytest.raises(ValueError):
+                fn()
+    assert cat.path("__snapshots__/scores/v1").endswith("__snapshots__/scores/v1")
