@@ -466,7 +466,12 @@ def _check_simhash_recall_multi(max_hamming: int, n_blocks: int) -> None:
 
 
 def _pair_index_candidates(
-    base: DataFrame, n_blocks: int, width: int, id_col: str = "id"
+    base: DataFrame,
+    n_blocks: int,
+    width: int,
+    id_col: str = "id",
+    payload_cols: tuple[str, ...] = (),
+    dedup: bool = True,
 ) -> DataFrame:
     """Multi-index SimHash blocking: candidate pairs share at least one
     clean PAIR of blocks — C(n_blocks, 2) indexes, each keyed by the
@@ -479,12 +484,22 @@ def _pair_index_candidates(
     C(n,2)/n× more index rows. Recall: guaranteed for hamming ≤ n_blocks−2
     (:func:`_check_simhash_recall_multi`).
 
-    Shuffle shape: ONLY (id, pidx, pkey) rides the explode — Generate
-    copies its child columns into every output row, so carrying a payload
-    (64-int bits array / hash) would materialize C(n,2) copies per doc;
-    payloads rejoin on id AFTER the pair join + dedup. The block values are
-    materialized columns, so the exploded array is cheap (no inferred-
-    filter re-substitution hazard)."""
+    Shuffle shape: (id, payloads, pidx, pkey) rides the explode. Generate
+    copies its child columns into every output row, so ``payload_cols``
+    must be NARROW scalars (the packed 64-bit hash halves: ≤16 bytes ×
+    C(n,2) copies per doc) — carrying them beats the alternative (two
+    id-keyed corpus-wide rejoins that each recompute the per-word hash
+    aggregation upstream: measured 3× full-scan duplication, zero
+    ReusedExchange). A WIDE payload (the 64-int bits array) must instead
+    rejoin on id after the pair join. Block values are materialized
+    columns, so the exploded array is cheap (no inferred-filter
+    re-substitution hazard).
+
+    ``dedup=False`` returns raw per-index matches (a pair appears once per
+    shared clean block-pair) so callers can apply a cheap verification
+    filter (Hamming ≤ k on the carried payloads) BEFORE the distinct
+    shuffle — the dedup exchange then carries only true near-dup pairs.
+    Callers taking this path own the final ``dropDuplicates``."""
     pairs = [(i, j) for i in range(n_blocks) for j in range(i + 1, n_blocks)]
     keys = F.array(
         *[
@@ -498,17 +513,32 @@ def _pair_index_candidates(
             for i, j in pairs
         ]
     )
-    ex = base.select(F.col(id_col).alias("id"), F.explode(keys).alias("k")).select(
-        "id", F.col("k.pidx").alias("pidx"), F.col("k.pkey").alias("pkey")
+    ex = base.select(
+        F.col(id_col).alias("id"), *payload_cols, F.explode(keys).alias("k")
+    ).select(
+        "id", *payload_cols, F.col("k.pidx").alias("pidx"), F.col("k.pkey").alias("pkey")
     )
-    a = ex.select(F.col("id").alias("id_a"), "pidx", "pkey")
-    b = ex.select(F.col("id").alias("id_b"), "pidx", "pkey")
-    return (
+    a = ex.select(
+        F.col("id").alias("id_a"),
+        *[F.col(p).alias(f"{p}_a") for p in payload_cols],
+        "pidx",
+        "pkey",
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"),
+        *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+        "pidx",
+        "pkey",
+    )
+    out_cols = ["id_a", "id_b"] + [
+        f"{p}_{s}" for p in payload_cols for s in ("a", "b")
+    ]
+    joined = (
         a.join(b, ["pidx", "pkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select(*out_cols)
     )
+    return joined.dropDuplicates(["id_a", "id_b"]) if dedup else joined
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:
@@ -544,17 +574,22 @@ def simhash_dup_pairs(
                     F.lit((1 << width) - 1)
                 ),
             )
-        sh = base.select("id", "sh")
-        cands = (
-            _pair_index_candidates(base, n_blocks, width)
-            .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        # carry the 8-byte hash through the explode (narrow payload — see
+        # _pair_index_candidates) and Hamming-filter BEFORE the distinct
+        # shuffle, so the dedup exchange carries only true near-dups
+        return (
+            _pair_index_candidates(
+                base, n_blocks, width, payload_cols=("sh",), dedup=False
+            )
+            .withColumn("hamming", hamming64("sh_a", "sh_b"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "hamming")
         )
-    else:
-        _check_simhash_recall(max_hamming, n_blocks)
-        cands = simhash_candidates(df, text_col, id_col, seed, n_blocks)
+    _check_simhash_recall(max_hamming, n_blocks)
     return (
-        cands.withColumn("hamming", hamming64("sh_a", "sh_b"))
+        simhash_candidates(df, text_col, id_col, seed, n_blocks)
+        .withColumn("hamming", hamming64("sh_a", "sh_b"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -637,45 +672,60 @@ def simhash_md5_dup_pairs(
     ``multi_index=True``: candidates share ≥1 PAIR of blocks
     (:func:`_pair_index_candidates`; recall for hamming ≤ n_blocks−2;
     2^(2·64/n_blocks) buckets per index — 65,536 at n_blocks=8). Same
-    output set whenever both recall guards hold."""
+    output set whenever both recall guards hold.
+
+    Either way the 64 bits ride the candidate explode PACKED into two
+    longs (``bit_count(xor)`` Hamming) — carrying the 64-int bits array
+    through a Generate, or rejoining it on id afterwards, each measured
+    slower (the rejoin recomputes the per-word hash aggregation upstream:
+    3× full-scan duplication, zero ReusedExchange)."""
     base = simhash_bits_md5(df, text_col, id_col, n_blocks)
+
+    # pack 32 bits starting at `start` into a long (element_at is 1-based)
+    def _pack(start: int) -> Column:
+        return sum(
+            F.element_at("bits", start + j + 1).cast("long")
+            * F.lit(1 << j).cast("long")
+            for j in range(32)
+        )
+
+    base = base.withColumn("__lo", _pack(0)).withColumn("__hi", _pack(32))
+    hamming = hamming64(F.col("__lo_a"), F.col("__lo_b")) + hamming64(
+        F.col("__hi_a"), F.col("__hi_b")
+    )
     if multi_index:
         _check_simhash_recall_multi(max_hamming, n_blocks)
-        bits = base.select("id", "bits")
-        cands = (
-            _pair_index_candidates(base, n_blocks, 64 // n_blocks)
-            .join(
-                bits.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a")),
-                "id_a",
-            )
-            .join(
-                bits.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b")),
-                "id_b",
-            )
+        cands = _pair_index_candidates(
+            base, n_blocks, 64 // n_blocks, payload_cols=("__lo", "__hi"), dedup=False
         )
     else:
         _check_simhash_recall(max_hamming, n_blocks)
         blocks = base.select(
             "id",
-            "bits",
+            "__lo",
+            "__hi",
             F.posexplode(
                 F.array(*[F.col(f"block_{b}") for b in range(n_blocks)])
             ).alias("block", "block_val"),
         )
-        a = blocks.select(F.col("id").alias("id_a"), F.col("bits").alias("bits_a"), "block", "block_val")
-        b = blocks.select(F.col("id").alias("id_b"), F.col("bits").alias("bits_b"), "block", "block_val")
-        cands = (
-            a.join(b, ["block", "block_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        a = blocks.select(
+            F.col("id").alias("id_a"),
+            F.col("__lo").alias("__lo_a"),
+            F.col("__hi").alias("__hi_a"),
+            "block",
+            "block_val",
         )
-    hamming = F.size(
-        F.filter(
-            F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda d: d
+        b = blocks.select(
+            F.col("id").alias("id_b"),
+            F.col("__lo").alias("__lo_b"),
+            F.col("__hi").alias("__hi_b"),
+            "block",
+            "block_val",
         )
-    )
+        cands = a.join(b, ["block", "block_val"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
