@@ -29,7 +29,7 @@ sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
 from ocr_spark.operators.boilerplate import strip_boilerplate
 from ocr_spark.operators.extract import extract_docs, render_markdown
-from ocr_spark.operators.dedup import minhash_lsh_candidates
+from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
 from ocr_spark.operators.similarity import ann_topk_per_query
@@ -61,34 +61,48 @@ emb_udf = make_embedding_udf(64)
 emb = docs.select("doc_id", emb_udf(F.pmod(F.xxhash64("doc_id"), F.lit(10000))).alias("embedding"))
 qs = emb.limit(3).select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec"))
 
-# north-rule W1/W2 inputs are MATERIALIZED parquet (built once by the
-# parent at full parallelism): the timed job is the operator itself, not a
-# re-run of the extract+render upstream (which has its own row above) —
-# otherwise the operators are a small tail on a 58 s upstream and the
-# efficiency reading is mostly noise.
-html = spark.read.parquet(corpus + "_html")
-tokens = spark.read.parquet(corpus + "_tokens")
-
+# north-rule W1/W2 + simhash inputs are MATERIALIZED parquet (built once by
+# the parent at full parallelism, only for the jobs actually selected): the
+# timed job is the operator itself, not a re-run of the extract+render
+# upstream (which has its own row above) — otherwise the operators are a
+# small tail on a 58 s upstream and the efficiency reading is mostly noise.
+# Reads live inside the job lambdas so an unselected job's input need not
+# exist on disk.
 JOBS = {{
     "extract": lambda: extract_docs(docs),
     "dedup": lambda: minhash_lsh_candidates(texts, n_hashes=32, n_bands=8),
     "ann": lambda: ann_topk_per_query(emb, qs, dim=64, k=10, n_planes=8, n_bands=2,
                                       id_col="doc_id"),
-    "boilerplate": lambda: strip_boilerplate(html),
+    "boilerplate": lambda: strip_boilerplate(spark.read.parquet(corpus + "_html")),
     "layout": lambda: assemble_reading_order(
-        detect_regions(tokens, column_width=400.0, gap_threshold=30.0)
+        detect_regions(spark.read.parquet(corpus + "_tokens"),
+                       column_width=400.0, gap_threshold=30.0)
+    ),
+    # the gate's scale configuration: pair-of-blocks multi-index over the
+    # xxhash64 scale default (exploded simhash_signatures builder)
+    "simhash": lambda: simhash_dup_pairs(
+        spark.read.parquet(corpus + "_text"),
+        max_hamming=3, n_blocks=8, multi_index=True
     ),
 }}
+# per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
+# expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
+# per-task overhead dominates the 4N level and poisons the efficiency read
+SPLIT_BYTES = {{"simhash": 1024 * 1024}}
 n_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 _only = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
 if _only:
     JOBS = {{k: v for k, v in JOBS.items() if k in _only.split(",")}}
 out = {{"cores": cores}}
 for name, mk in JOBS.items():
+    # FileSourceScan consults this conf when each action plans its read
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(SPLIT_BYTES.get(name, 64 * 1024)))
     force(mk())  # warm-up: codegen + JIT
     times = []
     # short materialized-input jobs get full repeats (host-noise robustness);
-    # the long composite dedup/ann legs keep the reduced count
+    # the long composite dedup/ann legs and the work-dominated simhash leg
+    # keep the reduced count
     reps = (
         n_repeats
         if name in ("extract", "boilerplate", "layout")
@@ -142,7 +156,14 @@ def main() -> None:
         ).format(repo=REPO, n=n_docs, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
-    if not os.path.exists(os.path.join(corpus + "_tokens", "_SUCCESS")):
+    _sel = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
+    sel = set(_sel.split(",")) if _sel else {
+        "extract", "dedup", "ann", "boilerplate", "layout", "simhash"
+    }
+
+    if sel & {"boilerplate", "layout"} and not os.path.exists(
+        os.path.join(corpus + "_tokens", "_SUCCESS")
+    ):
         # one-time derived-input materialization (full parallelism; cost is
         # setup, not measurement): gate-shaped HTML pages + planted
         # two-column page geometry over the rendered corpus
@@ -177,12 +198,31 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
+    if "simhash" in sel and not os.path.exists(
+        os.path.join(corpus + "_text", "_SUCCESS")
+    ):
+        # rendered-text input for the isolated simhash job (same doc_id/text
+        # shape as the composite dedup leg, but materialized so the timed
+        # job is the operator, not the extract+render upstream)
+        gen3 = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from ocr_spark.session import get_spark\n"
+            "from ocr_spark.operators.extract import extract_docs, render_markdown\n"
+            "from pyspark.sql import functions as F\n"
+            "spark = get_spark(master='local[32]')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "docs = spark.read.parquet({corpus!r})\n"
+            "render_markdown(extract_docs(docs)).select('doc_id', F.col('content').alias('text'))"
+            ".write.mode('overwrite').parquet({corpus!r} + '_text')\n"
+        ).format(repo=REPO, corpus=corpus)
+        subprocess.run([sys.executable, "-c", gen3], check=True, cwd=REPO)
+
     n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     low = run_level(n_cores, corpus)
     high = run_level(4 * n_cores, corpus)
     jobs_run = [
         j
-        for j in ("extract", "dedup", "ann", "boilerplate", "layout")
+        for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash")
         if j in low and j in high
     ]
     job_eff = {
@@ -209,6 +249,7 @@ def main() -> None:
         "ann": "ANN top-k (random projection)",
         "boilerplate": "HTML boilerplate strip (W1)",
         "layout": "layout regions + reading order (W2)",
+        "simhash": "SimHash near-dup pairs (pair-of-blocks multi-index)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     extra_rows = "\n".join(
