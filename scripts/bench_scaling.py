@@ -89,6 +89,14 @@ JOBS = {{
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
 # per-task overhead dominates the 4N level and poisons the efficiency read
 SPLIT_BYTES = {{"simhash": 1024 * 1024}}
+# per-job AQE advisory partition size: simhash's bucket join carries a
+# ~600 MB shuffle with ~480 core-s of join work; the 64 MB default
+# coalesces it to 11 post-shuffle tasks — fine at 2 cores (5+ waves) but
+# 1.4 ragged waves at 8 (tasks 28-52 s, cores idle at the barrier;
+# measured 0.70 efficiency from THIS alone). 16 MB keeps all 32 shuffle
+# partitions (>= 4 waves at 4N) — the task>>core regime a 100 TB shuffle
+# is in naturally. Same setting at both levels.
+ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024}}
 n_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 _only = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
 if _only:
@@ -98,6 +106,8 @@ for name, mk in JOBS.items():
     # FileSourceScan consults this conf when each action plans its read
     spark.conf.set("spark.sql.files.maxPartitionBytes",
                    str(SPLIT_BYTES.get(name, 64 * 1024)))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                   str(ADVISORY_BYTES.get(name, 64 * 1024 * 1024)))
     force(mk())  # warm-up: codegen + JIT
     times = []
     # short materialized-input jobs get full repeats (host-noise robustness);

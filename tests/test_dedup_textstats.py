@@ -389,3 +389,20 @@ def test_fingerprints(spark, docs_df):
     # near-dup docs share most rolling chunks
     shared = set(got["a1"][1]) & set(got["a3"][1])
     assert len(shared) >= len(got["a1"][1]) - 4
+
+
+def test_simhash_canonical_index_emits_each_pair_once(spark, docs_df):
+    """The canonical-index filter must leave EXACTLY one copy of every
+    near-dup pair (the dropDuplicates it replaced guaranteed uniqueness;
+    a filter bug would either duplicate pairs or drop them)."""
+    from ocr_spark.operators.dedup import simhash_dup_pairs, simhash_md5_dup_pairs
+
+    for fn, kw in [
+        (simhash_dup_pairs, {"max_hamming": 12, "n_blocks": 16}),
+        (simhash_dup_pairs, {"max_hamming": 12, "n_blocks": 16, "multi_index": True}),
+        (simhash_md5_dup_pairs, {"max_hamming": 12, "n_blocks": 16}),
+        (simhash_md5_dup_pairs, {"max_hamming": 12, "n_blocks": 16, "multi_index": True}),
+    ]:
+        pairs = [(r.id_a, r.id_b) for r in fn(docs_df, **kw).collect()]
+        assert len(pairs) == len(set(pairs)), (fn.__name__, kw)
+        assert pairs, (fn.__name__, kw)  # corpus has planted near-dups

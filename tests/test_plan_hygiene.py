@@ -184,3 +184,27 @@ def test_ivf_probe_explode_has_no_inferred_filter(spark):
     for g in gens:
         assert "true" in g.split("],", 1)[-1] or ", true," in g, g  # outer
         assert "lambdafunction" not in g, g[:500]
+
+
+def test_simhash_pair_stream_never_shuffles(spark):
+    """Cross-index duplicate pairs are removed by the canonical-index
+    filter (pidx == first equal block pair — a per-row predicate), NOT by
+    dropDuplicates([id_a, id_b]): that distinct's exchange shuffles the
+    full candidate-pair stream, the largest dataset in the job on a
+    self-similar corpus (measured 135 s -> ~105 s at 8 cores on 500k docs
+    when eliminated). No aggregate or exchange may key on the pair ids, in
+    either hash variant."""
+    from ocr_spark.operators.dedup import simhash_dup_pairs
+
+    plan = _plan(spark, "simhash_dups")  # md5-portable multi-index gate
+    assert "HashAggregate(keys=[id_a" not in plan, plan[:2000]
+    assert "hashpartitioning(id_a" not in plan, plan[:2000]
+
+    rows = [(i, f"some words repeated {i % 7} across documents {i % 3}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for multi in (False, True):
+        df = simhash_dup_pairs(docs, max_hamming=3, n_blocks=8, multi_index=multi)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate(keys=[id_a" not in p, p[:2000]
+        assert "hashpartitioning(id_a" not in p, p[:2000]
