@@ -157,30 +157,48 @@ def minhash_lsh_candidates(
     shingle → signature → split into ``n_bands`` bands of ``n_hashes/n_bands``
     rows → band-hash groupBy join. Shuffles once on (band, band_hash);
     candidate volume is bucket-local.
+
+    Cross-band duplicate pairs are removed by the canonical-band filter —
+    keep a pair only in the FIRST band where the two band hashes agree, a
+    per-row predicate over the carried band-hash arrays (n_bands longs per
+    doc riding the explode) — NOT by ``dropDuplicates([id_a, id_b])``:
+    that distinct's exchange shuffles the full candidate-pair stream,
+    which on a near-dup-heavy corpus is the largest dataset in the job
+    (65.6M pairs on the 500k smoke corpus vs 4M band rows).
     """
     rows = n_hashes // n_bands
     base = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
-    bands = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")),
-                        ",",
-                    )
-                ),
+    bh = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")),
+                ",",
             )
-        ).alias("band", "band_hash"),
+        ),
     )
-    a = bands.select(F.col("id").alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
+    # outer: bh is provably non-empty; a plain posexplode would let the
+    # optimizer infer a size()>0 filter that re-substitutes the band-hash
+    # transform below the projection (the dedup/boilerplate pitfall)
+    bands = base.select("id", bh.alias("bh")).select(
+        "id", "bh", F.posexplode_outer("bh").alias("band", "band_hash")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("bh").alias("bh_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("bh").alias("bh_b"), "band", "band_hash"
+    )
+    # first band whose hashes agree: 1-based array_position over the
+    # elementwise-equality zip (real 2-arg closure — no default-arg lambda)
+    first_eq = F.array_position(
+        F.zip_with("bh_a", "bh_b", lambda x, y: x == y), F.lit(True)
+    )
     return (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") + 1 == first_eq)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
