@@ -234,8 +234,17 @@ def band_buckets(
         return out
 
     buckets = F.array(*[_bucket_of(b) for b in range(n_bands)])
-    return projs.select(
-        "__id", "__vec", F.posexplode(buckets).alias("band", "bucket")
+    # __buckets (n_bands ints) rides along so callers can replace their
+    # cross-band dropDuplicates with the canonical-band filter (keep a
+    # candidate only in the FIRST band whose buckets agree) — a per-row
+    # predicate instead of a distinct exchange that shuffles the candidate
+    # stream WITH its carried vectors. posexplode_outer on the materialized
+    # column: no inferred size()>0 filter, Generate consumes an attribute.
+    return projs.select("__id", "__vec", buckets.alias("__buckets")).select(
+        "__id",
+        "__vec",
+        "__buckets",
+        F.posexplode_outer("__buckets").alias("band", "bucket"),
     )
 
 
@@ -268,12 +277,22 @@ def ann_topk_per_query(
         queries, dim, n_planes, n_bands, seed, query_id_col, query_vec_col
     ).select(
         F.col("__id").alias("__qid"), F.col("__vec").alias("__qvec"),
-        "band", "bucket",
+        F.col("__buckets").alias("__qbkts"), "band", "bucket",
     )
-    cand = e_b.join(q_b, ["band", "bucket"]).drop("band", "bucket")
+    # canonical-band filter: a (query, doc) candidate surfaces once per
+    # shared band; keep it only in the FIRST band whose buckets agree —
+    # per-row over the carried n_bands-int bucket arrays. The former
+    # dropDuplicates exchange shuffled every candidate WITH both vectors.
+    first_eq = F.array_position(
+        F.zip_with("__buckets", "__qbkts", lambda x, y: x == y), F.lit(True)
+    )
+    cand = (
+        e_b.join(q_b, ["band", "bucket"])
+        .filter(F.col("band") + 1 == first_eq)
+        .drop("band", "bucket", "__buckets", "__qbkts")
+    )
     rescored = (
-        cand.dropDuplicates(["__qid", "__id"])
-        .filter(F.col("__id") != F.col("__qid"))
+        cand.filter(F.col("__id") != F.col("__qid"))
         .withColumn("similarity", cosine_similarity("__vec", "__qvec"))
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("similarity"), F.col("__id"))
@@ -306,15 +325,26 @@ def lsh_bucket_pairs(
     ONE scan via :func:`band_buckets`."""
     bucketed = band_buckets(embeddings, dim, n_planes, n_bands, seed, id_col, vec_col)
     a = bucketed.select(
-        F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "band", "bucket"
+        F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"),
+        F.col("__buckets").alias("bkts_a"), "band", "bucket",
     )
     b = bucketed.select(
-        F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "band", "bucket"
+        F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"),
+        F.col("__buckets").alias("bkts_b"), "band", "bucket",
     )
-    cands = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # canonical-band filter replaces the cross-band dropDuplicates (whose
+    # exchange shuffled every candidate pair WITH both vectors): keep a
+    # pair only in the FIRST band whose buckets agree.
+    first_eq = F.array_position(
+        F.zip_with("bkts_a", "bkts_b", lambda x, y: x == y), F.lit(True)
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") + 1 == first_eq)
+    )
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
-        .withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
+        cands.withColumn("similarity", cosine_similarity("vec_a", "vec_b"))
         .filter(F.col("similarity") >= F.lit(threshold))
         .select("id_a", "id_b", "similarity")
     )
