@@ -208,3 +208,20 @@ def test_simhash_pair_stream_never_shuffles(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate(keys=[id_a" not in p, p[:2000]
         assert "hashpartitioning(id_a" not in p, p[:2000]
+
+
+def test_ann_candidate_stream_never_distincts(spark):
+    """Both ANN consumers of band_buckets use the canonical-band filter;
+    no aggregate may key on the candidate ids (the old dropDuplicates
+    shuffled every candidate WITH its carried embedding vectors). The
+    per-query ranking window legitimately exchanges on __qid alone."""
+    from ocr_spark.operators.similarity import ann_topk_per_query, lsh_bucket_pairs
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    qdf = spark.createDataFrame(rows[:3], "query_id long, query_vec array<double>")
+    p1 = ann_topk_per_query(emb, qdf, dim=16, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate(keys=[__qid" not in p1, p1[:2000]
+    p2 = lsh_bucket_pairs(emb, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate(keys=[id_a" not in p2, p2[:2000]
+    assert "hashpartitioning(id_a" not in p2, p2[:2000]
