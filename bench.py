@@ -136,6 +136,13 @@ def main() -> None:
     # default split size already yields far more tasks than cores
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024))
+    # same reasoning post-shuffle: AQE's 64 MB advisory coalesces gate-scale
+    # shuffles below 32 tasks (layout_regions 1.9->1.1 s, reading_order
+    # 2.1->1.0 s, dedup_clusters 3.7->2.7 s at local[32] with 8 MB measured);
+    # a 100 TB shuffle is in the tasks>>cores regime at any advisory size
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024)
+    )
     from pyspark.sql import functions as F
 
     results: dict[str, float] = {}
