@@ -424,6 +424,92 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word mass, top-2/3-gram
+    coverage) per document — the pretraining-corpus repetition filter."""
+    from ocr_spark.operators.curation import repetition_stats
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("top2gram_frac", 4).alias("top2gram_frac"),
+        F.round("top3gram_frac", 4).alias("top3gram_frac"),
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality-rule flags + keep decision (bounds tightened to
+    the gate corpus' 10-99-word docs so `keep` varies)."""
+    from ocr_spark.operators.curation import gopher_quality
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    out = gopher_quality(docs, min_words=25, min_mean_word_len=2.0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        "n_stopwords",
+        "keep",
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — CCNet-style
+    degenerate-text signal."""
+    from ocr_spark.operators.curation import token_entropy
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    out = token_entropy(docs)
+    return out.select("doc_id", "n_words", F.round("entropy", 4).alias("entropy"))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document chunk dedup (10-word chunks, first occurrence
+    by (doc_id, chunk_idx) wins) — full reassembled-text value equality."""
+    from ocr_spark.operators.curation import chunk_dedup
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    return chunk_dedup(docs, chunk_words=10).select(
+        "doc_id", "text", "n_chunks", "n_kept"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically planted emails/IPs/phones
+    (docs with doc_id % 4 == 0 stay clean) — counts on the original text,
+    typed placeholder replacement, value-exact redacted output."""
+    from ocr_spark.operators.curation import pii_counts, redact_pii
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 090-1234-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )
+        ),
+    )
+    counts = pii_counts("text")
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        redact_pii("text").alias("redacted"),
+    )
+
+
 def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
@@ -1226,6 +1312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "extraction_pipeline": q_extraction_pipeline,
         "embeddings_pipeline": q_embeddings_pipeline,
+        "repetition_stats": q_repetition_stats,
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
+        "chunk_dedup": q_chunk_dedup,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2219,6 +2310,153 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, cast(64 as int) as dim, 'text' as embedding_type,
                cast(1.0 as double) as norm
         from documents
+    """
+    # --- corpus-curation family (operators/curation) -----------------------
+    # words split mirrors curation.words_column: trim + split on \s+, empty
+    # text -> zero words (left joins restore empty docs with zeroed stats)
+    _CURATION_WORDS = r"""
+        words as (
+          select doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) as w,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) as pos
+          from documents where trim(coalesce(text, '')) <> ''
+        )
+    """
+    sql["repetition_stats"] = f"""
+        with {_CURATION_WORDS},
+        uni as (
+          select doc_id, count(*) as n_words, count(distinct w) as nd
+          from words group by doc_id
+        ),
+        g2 as (
+          select doc_id,
+                 w || ' ' || lead(w) over (partition by doc_id order by pos) as g
+          from words
+        ),
+        t2 as (
+          select doc_id, cast(max(c) as double) / sum(c) as f from (
+            select doc_id, g, count(*) as c from g2 where g is not null
+            group by doc_id, g
+          ) group by doc_id
+        ),
+        g3 as (
+          select doc_id,
+                 w || ' ' || lead(w, 1) over win || ' ' || lead(w, 2) over win as g
+          from words window win as (partition by doc_id order by pos)
+        ),
+        t3 as (
+          select doc_id, cast(max(c) as double) / sum(c) as f from (
+            select doc_id, g, count(*) as c from g3 where g is not null
+            group by doc_id, g
+          ) group by doc_id
+        )
+        select d.doc_id,
+               coalesce(u.n_words, 0) as n_words,
+               round(coalesce(1.0 - cast(u.nd as double) / u.n_words, 0.0), 4)
+                 as dup_word_frac,
+               round(coalesce(t2.f, 0.0), 4) as top2gram_frac,
+               round(coalesce(t3.f, 0.0), 4) as top3gram_frac
+        from documents d
+        left join uni u using (doc_id)
+        left join t2 using (doc_id)
+        left join t3 using (doc_id)
+    """
+    sql["gopher_quality"] = r"""
+        with base as (
+          select doc_id, coalesce(text, '') as t,
+                 case when trim(coalesce(text, '')) = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(trim(text), '\s+') end as ws
+          from documents
+        ),
+        raw as (
+          select doc_id,
+                 len(ws) as n_words,
+                 cast(length(regexp_replace(t, '\s', '', 'g')) as double)
+                   / greatest(len(ws), 1) as mean_word_len,
+                 cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
+                   / greatest(len(ws), 1) as symbol_ratio,
+                 cast(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) as double)
+                   / greatest(len(ws), 1) as alpha_word_frac,
+                 len(list_filter(ws, x -> lower(x) in
+                     ('the','be','to','of','and','that','have','with'))) as n_stopwords
+          from base
+        )
+        select doc_id, n_words,
+               round(mean_word_len, 4) as mean_word_len,
+               round(symbol_ratio, 4) as symbol_ratio,
+               round(alpha_word_frac, 4) as alpha_word_frac,
+               n_stopwords,
+               (n_words between 25 and 100000
+                and mean_word_len between 2.0 and 10.0
+                and symbol_ratio <= 0.1
+                and alpha_word_frac >= 0.8
+                and n_stopwords >= 2) as keep
+        from raw
+    """
+    sql["token_entropy"] = f"""
+        with {_CURATION_WORDS},
+        cnt as (
+          select doc_id, w, count(*) as c from words group by doc_id, w
+        ),
+        ent as (
+          select doc_id, sum(c) as n, sum(c * ln(c)) as s
+          from cnt group by doc_id
+        )
+        select d.doc_id,
+               coalesce(e.n, 0) as n_words,
+               round(coalesce(ln(e.n) - e.s / e.n, 0.0), 4) as entropy
+        from documents d left join ent e using (doc_id)
+    """
+    sql["chunk_dedup"] = f"""
+        with {_CURATION_WORDS},
+        ch as (
+          select doc_id, cast((pos - 1) // 10 as int) as ci,
+                 string_agg(w, ' ' order by pos) as chunk
+          from words group by doc_id, cast((pos - 1) // 10 as int)
+        ),
+        fl as (
+          select doc_id, ci, chunk,
+                 row_number() over (partition by chunk order by doc_id, ci) as rn
+          from ch
+        ),
+        agg as (
+          select doc_id,
+                 count(*) as n_chunks,
+                 sum(case when rn = 1 then 1 else 0 end) as n_kept,
+                 coalesce(string_agg(case when rn = 1 then chunk end,
+                                     ' ' order by ci), '') as text
+          from fl group by doc_id
+        )
+        select d.doc_id,
+               coalesce(a.text, '') as text,
+               coalesce(a.n_chunks, 0) as n_chunks,
+               coalesce(a.n_kept, 0) as n_kept
+        from documents d left join agg a using (doc_id)
+    """
+    sql["pii_redact"] = r"""
+        with planted as (
+          select doc_id,
+                 case when doc_id % 4 = 0 then text
+                      else text || ' contact user' || doc_id
+                           || '@example.com or 10.0.' || (doc_id % 256)
+                           || '.7 call 090-1234-'
+                           || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                 end as text
+          from documents
+        )
+        select doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
+               len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ip,
+               len(regexp_extract_all(text,
+                 '\b0\d{1,4}-\d{1,4}-\d{3,4}\b')) as n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b0\d{1,4}-\d{1,4}-\d{3,4}\b', '<PHONE>', 'g') as redacted
+        from planted
     """
     return sql
 

@@ -102,6 +102,13 @@ HEADLINE = [
     "event_windows",
     "jsonl_roundtrip",
     "html_blocks",
+    # r3 late additions: corpus-curation family (Gopher repetition/quality,
+    # CCNet entropy, C4 chunk dedup, PII redaction)
+    "repetition_stats",
+    "gopher_quality",
+    "token_entropy",
+    "chunk_dedup",
+    "pii_redact",
 ]
 
 

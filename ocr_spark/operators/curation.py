@@ -1,0 +1,347 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Gopher-style repetition statistics and quality-rule flags (Rae et al. 2021,
+"Scaling Language Models", §A1.1), C4-style cross-document chunk
+deduplication (Raffel et al. 2020, §2.2 — "discard repeated spans, keeping
+the first occurrence"), per-document unigram token entropy, and PII
+redaction — the filters a web-scale pretraining pipeline runs between
+extraction (operators/extract, operators/boilerplate) and dedup
+(operators/dedup).
+
+The reference repo curates implicitly through its extraction prompts'
+completeness rules (/root/reference/src/claude_image_analyzer.py:134-192 —
+drop truncated problems, ignore page numbers); these operators are the
+explicit, corpus-level generalization the north star's 10^12-document table
+needs.
+
+Scale design:
+  * every per-document statistic is a native Spark SQL expression
+    (whole-stage codegen, no Python);
+  * corpus-level ops (`repetition_stats`, `token_entropy`, `chunk_dedup`)
+    shuffle ONCE on (doc, token) / chunk keys with map-side partial
+    aggregation, then once more on doc_id — both keys are high-cardinality
+    and skew-free by construction (a gram key is prefixed by its doc);
+  * the words/gram arrays are materialized as real columns BEFORE any
+    explode and exploded with ``posexplode_outer`` — Catalyst re-inlines
+    aliased expressions into inferred ``size()>0`` filters and HOF lambda
+    bodies (see operators/dedup.word_shingles' warning), and the `_outer`
+    variants keep the optimizer from inferring that filter at all;
+  * no un-partitioned windows: the only global window (`chunk_dedup`'s
+    first-occurrence keeper) partitions by the chunk text itself, whose
+    cardinality grows with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words_column",
+    "repetition_stats",
+    "gopher_quality",
+    "token_entropy",
+    "chunk_dedup",
+    "pii_counts",
+    "redact_pii",
+    "DEFAULT_STOPWORDS",
+    "PII_PATTERNS",
+]
+
+
+def words_column(text_col: Column | str) -> Column:
+    """Whitespace word array of a text column; empty array for empty/null
+    text (never null — callers posexplode_outer without an inferred filter)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """All order-n word grams of a materialized words-array COLUMN.
+
+    ``words`` must be a plain column reference (not an expensive
+    expression): the outer-scope reference is re-inlined into both lambda
+    bodies by Catalyst, which is free for an attribute and quadratic for an
+    expression (the word_shingles lesson). ``element_at`` is O(1) per
+    element, so gram construction is O(n) per gram."""
+    count = F.size(words) - (n - 1)
+    # sequence(1, 0) steps DOWNWARD ([1, 0]) — guard short docs explicitly
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda j: F.element_at(words, i + j))
+        ),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns ``(id_col, n_words, dup_word_frac, top{n}gram_frac ...)``:
+
+      * ``dup_word_frac`` — fraction of word occurrences that are repeats of
+        an earlier occurrence: ``1 - distinct_words / n_words`` (0 for empty
+        docs). Gopher drops docs whose duplicate-line/word mass is high.
+      * ``top{n}gram_frac`` — fraction of all n-gram occurrences claimed by
+        the single most frequent n-gram (0 for docs shorter than n words).
+        Gopher's "top 2-gram fraction > 0.20 → drop" style rules.
+
+    All signals ride ONE unioned token stream tagged by order (word = order
+    1): two shuffles total — ``(doc, order, token)`` partial counts with
+    map-side combine, then a doc-local conditional fold — and zero joins
+    (the naive one-pipeline-per-signal shape costs 3 explodes + 3 joins =
+    8 exchanges; this is 2). No signal ever leaves its document, so the op
+    is embarrassingly doc-parallel at any corpus size.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+
+    def stream(n: int):
+        arr = F.col("words") if n == 1 else _ngrams(F.col("words"), n)
+        # the null row posexplode_outer emits for empty arrays keeps the doc
+        # alive through the aggregations (filtered out of every statistic)
+        return base.select(
+            "_id", F.lit(n).alias("n"), arr.alias("toks")
+        ).select("_id", "n", F.posexplode_outer("toks").alias("_p", "tok"))
+
+    unioned = stream(1)
+    for n in ngrams:
+        unioned = unioned.unionByName(stream(n))
+
+    counts = unioned.groupBy("_id", "n", "tok").agg(F.count("*").alias("c"))
+    ok = F.col("tok").isNotNull()
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(ok & (F.col("n") == 1), F.col("c"))), F.lit(0)
+        ).alias("n_words"),
+        F.count(F.when(ok & (F.col("n") == 1), F.col("tok"))).alias("n_distinct"),
+    ]
+    for n in ngrams:
+        aggs.append(F.max(F.when(ok & (F.col("n") == n), F.col("c"))).alias(f"mx{n}"))
+        aggs.append(F.sum(F.when(ok & (F.col("n") == n), F.col("c"))).alias(f"tot{n}"))
+    stats = counts.groupBy("_id").agg(*aggs)
+
+    cols = [
+        F.col("_id").alias(id_col),
+        F.col("n_words"),
+        F.when(
+            F.col("n_words") > 0,
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    ]
+    for n in ngrams:
+        cols.append(
+            F.when(
+                F.coalesce(F.col(f"tot{n}"), F.lit(0)) > 0,
+                F.col(f"mx{n}").cast("double") / F.col(f"tot{n}"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top{n}gram_frac")
+        )
+    return stats.select(*cols)
+
+
+#: Minimal English stopword set for the Gopher "has ≥ k stopwords" rule
+#: (Rae et al. use {the, be, to, of, and, that, have, with}).
+DEFAULT_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Gopher quality-rule flags per document, all native expressions.
+
+    Returns ``(id_col, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stopwords, keep)`` where ``keep`` is the conjunction
+    of the Gopher §A1.1 bounds (word count, mean word length, symbol-to-word
+    ratio for ``#``/ellipsis, fraction of words containing a letter,
+    stopword presence). Thresholds are parameters so small test corpora can
+    tighten them.
+
+    Purely row-local — fuses into one whole-stage-codegen projection over
+    the scan; no shuffle at any corpus size.
+    """
+    words = words_column(text_col)
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"), words.alias("words"))
+    n = F.size("words")
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = F.length(F.regexp_replace(F.coalesce(F.col("_t"), F.lit("")), r"\s", "")) / nz
+    symbols = F.regexp_count(F.coalesce(F.col("_t"), F.lit("")), F.lit(r"#|\.\.\.|…"))
+    alpha_words = F.size(F.filter(F.col("words"), lambda w: w.rlike(r"\p{L}")))
+    stops = F.size(F.filter(F.col("words"), lambda w: F.lower(w).isin(*stopwords)))
+    out = d.select(
+        F.col("_id").alias(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        (symbols / nz).alias("symbol_ratio"),
+        (alpha_words / nz).alias("alpha_word_frac"),
+        stops.alias("n_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", keep)
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram Shannon entropy (nats) of each document's word distribution.
+
+    ``H = ln(N) - Σ c·ln(c) / N`` over word counts ``c`` — the numerically
+    stable single-pass form (avoids materializing probabilities). Low
+    entropy flags degenerate/templated text (a CCNet-style quality signal).
+    Returns ``(id_col, n_words, entropy)``; empty docs get entropy 0.
+
+    Same shuffle shape as `repetition_stats`: (doc, word) partial counts,
+    then a doc-local fold.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    return (
+        base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
+        .groupBy("_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("w").isNotNull(), F.col("c"))), F.lit(0)).alias("n_words"),
+            F.coalesce(
+                F.sum(F.when(F.col("w").isNotNull(), F.col("c") * F.log(F.col("c")))),
+                F.lit(0.0),
+            ).alias("_clogc"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.when(
+                F.col("n_words") > 0,
+                F.log(F.col("n_words")) - F.col("_clogc") / F.col("n_words"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy"),
+        )
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4-style cross-document exact chunk dedup, first occurrence wins.
+
+    Splits each document into consecutive ``chunk_words``-word chunks (the
+    tail chunk may be shorter), keeps only the FIRST occurrence of each
+    distinct chunk text across the whole corpus (ordered by
+    ``(doc_id, chunk_idx)`` — deterministic), and reassembles each document
+    from its surviving chunks in original order. C4 does this with
+    three-sentence spans; the word-chunk variant is the same operator for
+    text without sentence boundaries.
+
+    Returns ``(id_col, text, n_chunks, n_kept)`` — ``text`` is the
+    deduplicated document ('' when every chunk was claimed earlier), and
+    every input document appears exactly once in the output.
+
+    Scale: ONE corpus-wide shuffle keyed by the chunk text (cardinality ≈
+    distinct chunks ≈ corpus size — skew only where the duplication itself
+    is extreme, which is exactly the mass the window then removes), then a
+    doc-keyed reassembly aggregation. The keeper is a window row_number
+    rather than a groupBy-min + self-join: same shuffle, no join back.
+    """
+    if chunk_words < 1:
+        raise ValueError("chunk_words must be >= 1")
+    base = docs.select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    n_chunks = F.ceil(F.size("words") / F.lit(float(chunk_words))).cast("int")
+    # sequence(0, -1) steps DOWNWARD ([0, -1]) — guard empty docs explicitly
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(F.col("words"), i * chunk_words + 1, chunk_words)),
+    )
+    chunked = base.select("_id", chunks_arr.alias("chunks")).select(
+        "_id", F.posexplode_outer("chunks").alias("chunk_idx", "chunk")
+    )
+    keeper = Window.partitionBy("chunk").orderBy("_id", "chunk_idx")
+    flagged = chunked.withColumn(
+        "_keep", F.when(F.col("chunk").isNull(), F.lit(False)).otherwise(
+            F.row_number().over(keeper) == 1
+        )
+    )
+    rebuilt = (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.col("chunk")).alias("n_chunks"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text"),
+        )
+        .select(F.col("_id").alias(id_col), "text", "n_chunks", "n_kept")
+    )
+    return rebuilt
+
+
+#: (name, java_and_re2_compatible_pattern, replacement) — applied in order.
+#: Patterns avoid lookarounds/backrefs so Spark (Java regex) and any RE2
+#: oracle (DuckDB) agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b0\d{1,4}-\d{1,4}-\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text_col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (before redaction, so
+    counts are independent of replacement order)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses and JP-style phone numbers with typed
+    placeholder tokens — chained native ``regexp_replace`` (global), applied
+    in `PII_PATTERNS` order (email first: an address can embed digit runs a
+    later pattern might clip)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

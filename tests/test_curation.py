@@ -1,0 +1,218 @@
+"""Unit + property tests for operators/curation (Gopher repetition/quality,
+C4 chunk dedup, token entropy, PII redaction) against tiny hand-computable
+corpora and pure-Python oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import (
+    PII_PATTERNS,
+    chunk_dedup,
+    gopher_quality,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    token_entropy,
+    words_column,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a"),          # words: 5, distinct 2; 2grams: ab ba ab ba -> top 2/4
+            (2, "x y z"),              # all distinct; 2grams xy yz -> top 1/2; 3gram xyz 1/1
+            (3, ""),                   # empty
+            (4, "w"),                  # single word: no 2/3-grams
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["top2gram_frac"] == pytest.approx(2 / 4)
+    assert out[1]["top3gram_frac"] == pytest.approx(2 / 3)  # aba bab aba
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top2gram_frac"] == pytest.approx(1 / 2)
+    assert out[2]["top3gram_frac"] == 1.0
+    assert out[3]["n_words"] == 0 and out[3]["dup_word_frac"] == 0.0
+    assert out[3]["top2gram_frac"] == 0.0 and out[3]["top3gram_frac"] == 0.0
+    assert out[4]["n_words"] == 1
+    assert out[4]["top2gram_frac"] == 0.0  # no grams — NOT a [1,0]-sequence artifact
+    assert len(out) == 4  # every input doc present exactly once
+
+
+def test_repetition_stats_python_oracle(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for doc_id, text in rows:
+        words = text.split() if text.strip() else []
+        n = len(words)
+        assert got[doc_id]["n_words"] == n
+        exp_dup = 1 - len(set(words)) / n if n else 0.0
+        assert got[doc_id]["dup_word_frac"] == pytest.approx(exp_dup)
+        for k in (2, 3):
+            grams = [" ".join(words[i : i + k]) for i in range(n - k + 1)]
+            exp = (
+                max(grams.count(g) for g in set(grams)) / len(grams) if grams else 0.0
+            )
+            assert got[doc_id][f"top{k}gram_frac"] == pytest.approx(exp), (doc_id, k)
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+# ---------------------------------------------------------------------------
+def test_gopher_quality_flags(spark):
+    good = "the quick brown fox jumps over with many of the fine dogs and cats that have fur"
+    symbolic = "the of # # # # # # # # # # and that have with more words here now"
+    numeric = "the of 111 222 333 444 555 666 777 888 999 000 111 222 333 444 555 666"
+    docs = _docs(spark, [(1, good), (2, symbolic), (3, numeric), (4, "")])
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(docs, min_words=10, min_mean_word_len=2.0).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # symbol_ratio 10/20 > 0.1
+    assert out[2]["symbol_ratio"] == pytest.approx(10 / 20)
+    assert out[3]["keep"] is False  # alpha_word_frac 2/18 < 0.8
+    assert out[4]["keep"] is False and out[4]["n_words"] == 0
+    assert out[1]["n_stopwords"] >= 2
+    exp_mean = sum(len(w) for w in good.split()) / len(good.split())
+    assert out[1]["mean_word_len"] == pytest.approx(exp_mean)
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+def test_token_entropy_uniform_and_degenerate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),       # uniform over 4 -> ln 4
+            (2, "a a a a"),       # degenerate -> 0
+            (3, "a a b b b b"),   # 2/6, 4/6
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+    assert out[1] == pytest.approx(math.log(4))
+    assert out[2] == pytest.approx(0.0)
+    exp = -(2 / 6) * math.log(2 / 6) - (4 / 6) * math.log(4 / 6)
+    assert out[3] == pytest.approx(exp)
+    assert out[4] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup
+# ---------------------------------------------------------------------------
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # chunk_words=3: doc 1 = [abc][def]; doc 2 repeats [abc] then fresh [xyz]
+    # doc 3 repeats BOTH of doc 1's chunks -> fully deduped
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "a b c d e f"),
+            (4, ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=3).collect()}
+    assert out[1]["text"] == "a b c d e f" and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "x y z" and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_chunks"] == 2
+    assert out[4]["text"] == "" and out[4]["n_chunks"] == 0
+    assert len(out) == 4
+
+
+def test_chunk_dedup_python_oracle(spark):
+    """Full-output equality against a pure-Python first-occurrence oracle on
+    a random self-similar corpus (short vocab => many shared chunks)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 23))))
+        for i in range(40)
+    ]
+    K = 4
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in sorted(rows):  # keeper order = (doc_id, chunk_idx)
+        words = text.split()
+        chunks = [" ".join(words[i : i + K]) for i in range(0, len(words), K)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expected[doc_id] = (" ".join(kept), len(chunks), len(kept))
+    docs = _docs(spark, rows).repartition(5)
+    got = {
+        r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+        for r in chunk_dedup(docs, chunk_words=K).collect()
+    }
+    assert got == expected
+    assert sum(v[2] for v in got.values()) == len(seen)
+
+
+def test_chunk_dedup_deterministic_keeper(spark):
+    """The keeper is ordered by (doc_id, chunk_idx): the LOWEST doc id owns a
+    shared chunk regardless of input partitioning."""
+    rows = [(i, "s h a r e d c h u n k") for i in range(8)]
+    docs = _docs(spark, rows).repartition(7)
+    out = {r["doc_id"]: r["n_kept"] for r in chunk_dedup(docs, chunk_words=12).collect()}
+    assert out[0] == 1
+    assert all(out[i] == 0 for i in range(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+def test_pii_redaction_and_counts(spark):
+    text = (
+        "mail a.b-c_d%x+1@sub.example.co.jp and admin@example.com, "
+        "host 192.168.0.1 backup 10.0.255.7, call 090-1234-5678 or 03-123-456 "
+        "but not 1234-5678 (no leading 0) and not 300.300.300.300x (no break)"
+    )
+    docs = _docs(spark, [(1, text)])
+    counts = pii_counts("text")
+    row = docs.select(
+        *[c.alias(k) for k, c in counts.items()], redact_pii("text").alias("red")
+    ).collect()[0]
+    assert row["email"] == 2
+    assert row["ip"] == 2
+    assert row["phone"] == 2
+    red = row["red"]
+    assert "<EMAIL>" in red and "@" not in red
+    assert "192.168.0.1" not in red and "<IP>" in red
+    assert "090-1234-5678" not in red and "<PHONE>" in red
+    assert "1234-5678 (no leading 0)" in red
+
+
+def test_pii_patterns_are_global_and_ordered(spark):
+    # email containing digit runs must be consumed by the EMAIL pattern first
+    docs = _docs(spark, [(1, "x 0123-456-7890@mail.example.com y 0123-456-7890 z")])
+    red = docs.select(redact_pii("text").alias("r")).collect()[0]["r"]
+    assert red == "x <EMAIL> y <PHONE> z"
+    assert len(PII_PATTERNS) == 3

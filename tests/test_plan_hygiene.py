@@ -225,3 +225,29 @@ def test_ann_candidate_stream_never_distincts(spark):
     p2 = lsh_bucket_pairs(emb, dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate(keys=[id_a" not in p2, p2[:2000]
     assert "hashpartitioning(id_a" not in p2, p2[:2000]
+
+
+def test_curation_ops_plan_shape(spark):
+    """The curation family keeps its designed shuffle budget: one unioned
+    token stream for repetition_stats (2 exchanges, no joins), chunk window
+    + doc regroup for chunk_dedup (2 exchanges), and NO inferred size()>0
+    filter re-substituting the words split below an explode (the
+    word_shingles lesson — curation materializes arrays and explodes with
+    posexplode_outer)."""
+    from ocr_spark.operators.curation import (
+        chunk_dedup,
+        gopher_quality,
+        repetition_stats,
+        token_entropy,
+    )
+
+    rows = [(i, f"alpha beta gamma {i % 5} delta beta") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for op, budget in ((repetition_stats, 2), (token_entropy, 2), (chunk_dedup, 2)):
+        p = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") <= budget, (op.__name__, p[:2000])
+        bad = [l for l in p.splitlines() if "Filter" in l and "split(" in l]
+        assert not bad, (op.__name__, bad[:2])
+    # gopher_quality is row-local: zero exchanges, one codegen projection
+    p = gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:2000]
