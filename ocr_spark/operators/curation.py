@@ -17,23 +17,26 @@ needs.
 Scale design:
   * every per-document statistic is a native Spark SQL expression
     (whole-stage codegen, no Python);
-  * corpus-level ops (`repetition_stats`, `token_entropy`, `chunk_dedup`)
-    shuffle ONCE on (doc, token) / chunk keys with map-side partial
-    aggregation, then once more on doc_id — both keys are high-cardinality
-    and skew-free by construction (a gram key is prefixed by its doc);
+  * doc-local corpus ops (`repetition_stats`, `token_entropy`) shuffle the
+    RAW documents once (repartition by id — one row per doc); every
+    aggregation after the explode groups on a superset of the id, so
+    HashPartitioning(id) already satisfies it and no exploded token ever
+    crosses the network. `chunk_dedup` is genuinely cross-doc and shuffles
+    one row per DISTINCT chunk (struct-min with map-side combine);
   * the words/gram arrays are materialized as real columns BEFORE any
     explode and exploded with ``posexplode_outer`` — Catalyst re-inlines
     aliased expressions into inferred ``size()>0`` filters and HOF lambda
     bodies (see operators/dedup.word_shingles' warning), and the `_outer`
     variants keep the optimizer from inferring that filter at all;
-  * no un-partitioned windows: the only global window (`chunk_dedup`'s
-    first-occurrence keeper) partitions by the chunk text itself, whose
-    cardinality grows with the corpus.
+  * no windows at all: `chunk_dedup`'s first-occurrence keeper is a
+    struct-min hash aggregate (map-side combined), never a window
+    partitioned by the chunk text — duplicated chunks would all land in
+    one window task (measured 0.13 N→4N efficiency before the rewrite).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -57,6 +60,17 @@ def words_column(text_col: Column | str) -> Column:
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
+
+
+def _pinned_partitions(df: DataFrame) -> int:
+    """Explicit repartition width = spark.sql.shuffle.partitions.
+
+    Passing the number makes the shuffle REPARTITION_BY_NUM, which AQE will
+    not coalesce — necessary when the stage after the exchange EXPANDS its
+    input (token explode): AQE sizes post-shuffle partitions by the bytes
+    written, so a compact pre-explosion shuffle gets coalesced to a handful
+    of giant tasks."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 def _ngrams(words: Column, n: int) -> Column:
@@ -97,28 +111,54 @@ def repetition_stats(
         the single most frequent n-gram (0 for docs shorter than n words).
         Gopher's "top 2-gram fraction > 0.20 → drop" style rules.
 
-    All signals ride ONE unioned token stream tagged by order (word = order
-    1): two shuffles total — ``(doc, order, token)`` partial counts with
-    map-side combine, then a doc-local conditional fold — and zero joins
-    (the naive one-pipeline-per-signal shape costs 3 explodes + 3 joins =
-    8 exchanges; this is 2). No signal ever leaves its document, so the op
-    is embarrassingly doc-parallel at any corpus size.
+    Every signal is doc-local, so the ONLY shuffle is a `repartition` of
+    the un-exploded documents by id — one row per doc, raw-text bytes.
+    After it, HashPartitioning(_id) satisfies the clustering requirement of
+    BOTH aggregations (grouping keys are supersets of _id), so the token
+    explode, the ``(doc, order, token)`` counts and the final doc fold all
+    run partition-local with zero further exchanges. Shuffling the exploded
+    token stream instead (the obvious shape) carries ~3× the corpus text
+    even with map-side combine — measured 0.55 N→4N efficiency on a 120k
+    corpus before this rewrite; the words/grams ride one combined tagged
+    array so the text is regex-split once per row, and one
+    ``posexplode_outer``'s null row keeps empty docs alive.
+
+    The repartition pins an EXPLICIT partition count
+    (spark.sql.shuffle.partitions): a bare ``repartition(col)`` lets AQE
+    coalesce the exchange by its PRE-explosion byte size, blind to the ~20×
+    token expansion the stage then processes — measured: 130 MB of raw text
+    coalesced to 9 tasks whose per-partition hash tables grew 4×, 1.5× the
+    total CPU and 1.1 ragged waves on 8 cores (0.49 N→4N efficiency).
     """
-    base = docs.select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    base = (
+        docs.repartition(_pinned_partitions(docs), F.col(id_col))
+        .select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    )
 
-    def stream(n: int):
-        arr = F.col("words") if n == 1 else _ngrams(F.col("words"), n)
-        # the null row posexplode_outer emits for empty arrays keeps the doc
-        # alive through the aggregations (filtered out of every statistic)
-        return base.select(
-            "_id", F.lit(n).alias("n"), arr.alias("toks")
-        ).select("_id", "n", F.posexplode_outer("toks").alias("_p", "tok"))
+    streams = [
+        F.transform(
+            F.col("words"),
+            lambda w: F.struct(F.lit(1).alias("n"), w.alias("tok")),
+        )
+    ]
+    # bind n with a REAL closure — a default-arg lambda has two parameters,
+    # and transform() reads arity 2 as an (element, index) lambda, silently
+    # binding the loop variable to the array index (see CLAUDE.md pitfalls)
+    def _make_tag(order: int):
+        def tag(g):
+            return F.struct(F.lit(order).alias("n"), g.alias("tok"))
 
-    unioned = stream(1)
+        return tag
+
     for n in ngrams:
-        unioned = unioned.unionByName(stream(n))
+        streams.append(F.transform(_ngrams(F.col("words"), n), _make_tag(n)))
 
-    counts = unioned.groupBy("_id", "n", "tok").agg(F.count("*").alias("c"))
+    exploded = (
+        base.select("_id", F.concat(*streams).alias("toks"))
+        .select("_id", F.posexplode_outer("toks").alias("_p", "t"))
+        .select("_id", F.col("t.n").alias("n"), F.col("t.tok").alias("tok"))
+    )
+    counts = exploded.groupBy("_id", "n", "tok").agg(F.count("*").alias("c"))
     ok = F.col("tok").isNotNull()
     aggs = [
         F.coalesce(
@@ -221,10 +261,16 @@ def token_entropy(
     entropy flags degenerate/templated text (a CCNet-style quality signal).
     Returns ``(id_col, n_words, entropy)``; empty docs get entropy 0.
 
-    Same shuffle shape as `repetition_stats`: (doc, word) partial counts,
-    then a doc-local fold.
+    Same shuffle shape as `repetition_stats`: ONE doc-keyed repartition of
+    the raw documents (explicit partition count — see repetition_stats on
+    why AQE must not size this exchange by pre-explosion bytes); the word
+    counts and the entropy fold then run partition-local (their grouping
+    keys contain _id).
     """
-    base = docs.select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    base = (
+        docs.repartition(_pinned_partitions(docs), F.col(id_col))
+        .select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
+    )
     return (
         base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
         .groupBy("_id", "w")
@@ -270,11 +316,18 @@ def chunk_dedup(
     deduplicated document ('' when every chunk was claimed earlier), and
     every input document appears exactly once in the output.
 
-    Scale: ONE corpus-wide shuffle keyed by the chunk text (cardinality ≈
-    distinct chunks ≈ corpus size — skew only where the duplication itself
-    is extreme, which is exactly the mass the window then removes), then a
-    doc-keyed reassembly aggregation. The keeper is a window row_number
-    rather than a groupBy-min + self-join: same shuffle, no join back.
+    Scale: the first-occurrence keeper is a ``min(struct(doc, idx))``
+    AGGREGATION keyed by chunk, never a window — a window partitioned by
+    the chunk text sends EVERY copy of a duplicated chunk to one task
+    (measured: 2 cores beat 8 on a self-similar 120k corpus, 0.13 scaling
+    efficiency — the duplicate mass is exactly where the skew lands),
+    while the hash aggregate collapses duplicates map-side so the shuffle
+    carries one row per distinct chunk per task. The output is then
+    rebuilt from the WINNERS frame alone (a kept chunk's winner row IS its
+    (doc, idx, text)) — the exploded pair stream is never shuffled or
+    joined. Shuffles: distinct-chunk min, winner regroup by doc, and a
+    doc-keyed left join against the per-doc totals (all doc/chunk
+    cardinality, none proportional to duplicate volume).
     """
     if chunk_words < 1:
         raise ValueError("chunk_words must be >= 1")
@@ -288,35 +341,54 @@ def chunk_dedup(
         idx,
         lambda i: F.concat_ws(" ", F.slice(F.col("words"), i * chunk_words + 1, chunk_words)),
     )
-    chunked = base.select("_id", chunks_arr.alias("chunks")).select(
+    with_chunks = base.select("_id", chunks_arr.alias("chunks"))
+    chunked = with_chunks.select(
         "_id", F.posexplode_outer("chunks").alias("chunk_idx", "chunk")
-    )
-    keeper = Window.partitionBy("chunk").orderBy("_id", "chunk_idx")
-    flagged = chunked.withColumn(
-        "_keep", F.when(F.col("chunk").isNull(), F.lit(False)).otherwise(
-            F.row_number().over(keeper) == 1
-        )
+    ).filter(F.col("chunk").isNotNull())
+    # one row per DISTINCT chunk: lexicographic struct-min = first occurrence
+    winners = chunked.groupBy("chunk").agg(
+        F.min(F.struct("_id", "chunk_idx")).alias("w")
     )
     rebuilt = (
-        flagged.groupBy("_id")
+        winners.select(
+            F.col("w._id").alias("_id"),
+            F.col("w.chunk_idx").alias("chunk_idx"),
+            "chunk",
+        )
+        .groupBy("_id")
         .agg(
-            F.count(F.col("chunk")).alias("n_chunks"),
-            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.count("*").alias("n_kept"),
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("_keep"), F.struct("chunk_idx", "chunk"))
-                        )
-                    ),
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
                     lambda s: s["chunk"],
                 ),
             ).alias("text"),
         )
-        .select(F.col("_id").alias(id_col), "text", "n_chunks", "n_kept")
     )
-    return rebuilt
+    # totals re-scans the input (no CSE across join branches) — count words
+    # with regexp_count instead of materializing the split array, so this
+    # branch never pays the chunk-string build (measured ~2x on the whole
+    # job at 2 cores) nor the array allocation
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(raw)
+    n_words_cheap = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
+    )
+    totals = docs.select(
+        F.col(id_col).alias("_id"),
+        F.ceil(n_words_cheap / F.lit(float(chunk_words))).cast("int").alias("n_chunks"),
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
 
 
 #: (name, java_and_re2_compatible_pattern, replacement) — applied in order.

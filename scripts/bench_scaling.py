@@ -29,6 +29,7 @@ sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
 from ocr_spark.operators.boilerplate import strip_boilerplate
 from ocr_spark.operators.extract import extract_docs, render_markdown
+from ocr_spark.operators.curation import chunk_dedup, repetition_stats
 from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
@@ -91,11 +92,23 @@ JOBS = {{
         spark.read.parquet(corpus + "_text"),
         max_hamming=3, n_blocks=8, multi_index=True
     ),
+    # corpus-curation scale paths over the same rendered-text input:
+    # chunk_dedup = the family's real corpus-wide shuffle (chunk-keyed
+    # keeper window + doc reassembly), repetition = the exploded
+    # token-stream aggregation (2 exchanges, map-side combined)
+    "chunkdedup": lambda: chunk_dedup(
+        spark.read.parquet(corpus + "_text"), chunk_words=10
+    ),
+    "repetition": lambda: repetition_stats(
+        spark.read.parquet(corpus + "_text")
+    ),
 }}
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
 # per-task overhead dominates the 4N level and poisons the efficiency read
 SPLIT_BYTES = {{"simhash": 1024 * 1024,
+               "chunkdedup": 1024 * 1024,
+               "repetition": 1024 * 1024,
                # the token corpus is 13 MB compressed exploding to an
                # 846 MB shuffle: 64 KiB splits = 2,324 near-empty scan
                # tasks whose scheduling overhead only bites at 4N
@@ -108,6 +121,11 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
 # partitions (>= 4 waves at 4N) — the task>>core regime a 100 TB shuffle
 # is in naturally. Same setting at both levels.
 ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
+                  # chunkdedup's distinct-chunk shuffle is ~150-200 MB at
+                  # 500k docs: 16 MB advisory -> ~12 post-shuffle tasks =
+                  # ragged waves at 8 cores; 4 MB keeps tasks >> cores
+                  "chunkdedup": 4 * 1024 * 1024,
+                  "repetition": 16 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -182,7 +200,8 @@ def main() -> None:
 
     _sel = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
     sel = set(_sel.split(",")) if _sel else {
-        "extract", "dedup", "ann", "boilerplate", "layout", "simhash"
+        "extract", "dedup", "ann", "boilerplate", "layout", "simhash",
+        "chunkdedup", "repetition",
     }
 
     if sel & {"boilerplate", "layout"} and not os.path.exists(
@@ -222,7 +241,7 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
-    if "simhash" in sel and not os.path.exists(
+    if sel & {"simhash", "chunkdedup", "repetition"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -246,7 +265,8 @@ def main() -> None:
     high = run_level(4 * n_cores, corpus)
     jobs_run = [
         j
-        for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash")
+        for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
+                  "chunkdedup", "repetition")
         if j in low and j in high
     ]
     job_eff = {
@@ -274,6 +294,8 @@ def main() -> None:
         "boilerplate": "HTML boilerplate strip (W1)",
         "layout": "layout regions + reading order (W2)",
         "simhash": "SimHash near-dup pairs (pair-of-blocks multi-index)",
+        "chunkdedup": "C4 chunk dedup (keeper window + reassembly)",
+        "repetition": "Gopher repetition stats (unioned token stream)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     extra_rows = "\n".join(

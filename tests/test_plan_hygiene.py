@@ -243,11 +243,17 @@ def test_curation_ops_plan_shape(spark):
 
     rows = [(i, f"alpha beta gamma {i % 5} delta beta") for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for op, budget in ((repetition_stats, 2), (token_entropy, 2), (chunk_dedup, 2)):
+    for op, budget in ((repetition_stats, 1), (token_entropy, 1), (chunk_dedup, 5)):
         p = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert p.count("Exchange") <= budget, (op.__name__, p[:2000])
         bad = [l for l in p.splitlines() if "Filter" in l and "split(" in l]
         assert not bad, (op.__name__, bad[:2])
+    # chunk_dedup's keeper must stay a map-side-combined aggregate — a
+    # Window partitioned by the chunk text puts every copy of a duplicated
+    # chunk in ONE task (measured 0.13 N->4N efficiency on a self-similar
+    # corpus before the rewrite)
+    p = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p[:2000]
     # gopher_quality is row-local: zero exchanges, one codegen projection
     p = gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p[:2000]
