@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus-curation pipeline.
+
+Ship and run:
+
+    python scripts/package.py                       # -> dist/ocr_spark.zip
+    spark-submit --py-files dist/ocr_spark.zip \\
+        jobs/curate_job.py \\
+        --input  /path/to/documents_table \\
+        --catalog /path/to/catalog \\
+        [--min-words 50] [--chunk-words 10] [--redact-pii]
+
+The training-data curation flow over a (doc_id, text) table, cheapest
+filter first so each stage sees less data:
+
+    1. ``gopher_quality``  — row-local quality rules; failures are split to
+       a ``curation_rejects`` table with their flag columns (per-item error
+       isolation, SURVEY §2.10 F3 style);
+    2. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
+       the survivors (first occurrence wins);
+    3. ``repetition_stats`` + ``token_entropy`` on the deduplicated text —
+       written alongside as ``curation_stats`` for downstream threshold
+       sweeps (stats are recomputed signals, not filters, so a re-run with
+       new thresholds needs no new scan of the raw corpus);
+    4. optional ``--redact-pii`` rewrites the surviving text through the
+       typed-placeholder redactor before it is written.
+
+Writes ``curated`` (doc_id, text, n_chunks, n_kept), ``curation_stats``
+and ``curation_rejects`` to the catalog. All stages are native Spark SQL
+expressions; the only corpus-wide shuffle is chunk_dedup's distinct-chunk
+aggregation (see operators/curation for the scale notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir of docs(doc_id, text)")
+    ap.add_argument("--catalog", required=True, help="output catalog root")
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--max-words", type=int, default=100_000)
+    ap.add_argument("--min-stopwords", type=int, default=2)
+    ap.add_argument("--chunk-words", type=int, default=10)
+    ap.add_argument("--redact-pii", action="store_true")
+    args = ap.parse_args()
+
+    # imports resolve from the --py-files zip on executors
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.curation import (
+        chunk_dedup,
+        gopher_quality,
+        redact_pii,
+        repetition_stats,
+        token_entropy,
+    )
+    from ocr_spark.session import get_spark
+    from ocr_spark.storage import Catalog
+
+    active = SparkSession.getActiveSession()
+    spark = active if active is not None else get_spark(app_name="ocr_spark_curate")
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    catalog = Catalog(spark, args.catalog)
+
+    flags = gopher_quality(
+        docs,
+        min_words=args.min_words,
+        max_words=args.max_words,
+        min_stopwords=args.min_stopwords,
+    )
+    flagged = docs.join(flags, "doc_id")
+    catalog.write(flagged.filter(~F.col("keep")).drop("keep"), "curation_rejects")
+    kept = flagged.filter(F.col("keep")).select("doc_id", "text")
+
+    curated = chunk_dedup(kept, chunk_words=args.chunk_words)
+    if args.redact_pii:
+        curated = curated.withColumn("text", redact_pii("text"))
+    catalog.write(curated, "curated")
+
+    texts = catalog.read("curated").select("doc_id", "text")
+    stats = repetition_stats(texts).join(
+        token_entropy(texts).select("doc_id", "entropy"), "doc_id"
+    )
+    catalog.write(stats, "curation_stats")
+
+    for name in ("curated", "curation_stats", "curation_rejects"):
+        n = catalog.read(name).count()
+        print(f"stage={name} rows={n}")
+
+
+if __name__ == "__main__":
+    main()

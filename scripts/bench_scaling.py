@@ -199,9 +199,13 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
     _sel = os.environ.get("SPARK_GRAFT_SCALE_JOBS")
+    # chunkdedup/repetition are NOT in the default set: at the default
+    # 120k corpus their 4N wall is ~6 s (fixed-overhead-dominated, the
+    # artifact the W1/W2 note documents). Measure them work-dominated:
+    #   SPARK_GRAFT_SCALE_JOBS=chunkdedup,repetition \
+    #     python scripts/bench_scaling.py 500000
     sel = set(_sel.split(",")) if _sel else {
-        "extract", "dedup", "ann", "boilerplate", "layout", "simhash",
-        "chunkdedup", "repetition",
+        "extract", "dedup", "ann", "boilerplate", "layout", "simhash"
     }
 
     if sel & {"boilerplate", "layout"} and not os.path.exists(

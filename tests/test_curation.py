@@ -216,3 +216,42 @@ def test_pii_patterns_are_global_and_ordered(spark):
     red = docs.select(redact_pii("text").alias("r")).collect()[0]["r"]
     assert red == "x <EMAIL> y <PHONE> z"
     assert len(PII_PATTERNS) == 3
+
+
+# ---------------------------------------------------------------------------
+# curate_job (spark-submit entry)
+# ---------------------------------------------------------------------------
+def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
+    """The packaged curation job: quality split -> chunk dedup -> stats,
+    exercised through its argv interface against the active session."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    good = (
+        "the quick brown fox jumps with many of the fine dogs and cats "
+        "that have fur and the story goes on and on about the fine dogs"
+    )
+    rows = [(0, good), (1, good + " extra tail words here"), (2, "too short")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    cat = str(tmp_path / "catalog")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["curate_job.py", "--input", inp, "--catalog", cat,
+         "--min-words", "10", "--chunk-words", "5", "--redact-pii"],
+    )
+    curate_job.main()
+
+    curated = {r["doc_id"]: r for r in spark.read.parquet(f"{cat}/curated").collect()}
+    rejects = [r["doc_id"] for r in spark.read.parquet(f"{cat}/curation_rejects").collect()]
+    stats = {r["doc_id"]: r for r in spark.read.parquet(f"{cat}/curation_stats").collect()}
+    assert rejects == [2]  # quality-filtered out
+    assert set(curated) == {0, 1}
+    assert curated[0]["text"] == good  # first occurrence keeps everything
+    assert curated[1]["n_kept"] < curated[1]["n_chunks"]  # shared chunks deduped
+    assert set(stats) == {0, 1} and stats[0]["entropy"] > 0
