@@ -1463,8 +1463,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["token_stats"] = r"""
         select doc_id,
-               case when trim(text) = '' then 0
-                    else len(string_split_regex(trim(text), '\s+')) end as ws_tokens,
+               len(regexp_extract_all(text, '\S+')) as ws_tokens,
                len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) as bpe_tokens,
                length(text) as n_chars_obs
         from documents
@@ -1499,8 +1498,7 @@ def oracle_sql() -> dict[str, str]:
                  len(regexp_extract_all(text, '[[:punct:]。、「」・]')) as punct,
                  len(regexp_extract_all(text, '[0-9]')) as digit,
                  len(regexp_extract_all(text, '\s')) as space,
-                 case when trim(text) = '' then 0
-                      else len(string_split_regex(trim(text), '\s+')) end as ws_tokens
+                 len(regexp_extract_all(text, '\S+')) as ws_tokens
           from documents
         )
         select doc_id,
@@ -2316,10 +2314,15 @@ def oracle_sql() -> dict[str, str]:
     # text -> zero words (left joins restore empty docs with zeroed stats)
     _CURATION_WORDS = r"""
         words as (
+          -- regexp edge-strip, not trim(): trim removes spaces only, and a
+          -- leading newline/tab would make a phantom '' first word
           select doc_id,
-                 unnest(string_split_regex(trim(text), '\s+')) as w,
-                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) as pos
-          from documents where trim(coalesce(text, '')) <> ''
+                 unnest(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as w,
+                 generate_subscripts(string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), 1) as pos
+          from documents
+          where regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') <> ''
         )
     """
     sql["repetition_stats"] = f"""
@@ -2364,9 +2367,10 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_quality"] = r"""
         with base as (
           select doc_id, coalesce(text, '') as t,
-                 case when trim(coalesce(text, '')) = ''
+                 case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
                       then cast([] as varchar[])
-                      else string_split_regex(trim(text), '\s+') end as ws
+                      else string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
           from documents
         ),
         raw as (

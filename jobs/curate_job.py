@@ -13,17 +13,21 @@ Ship and run:
 The training-data curation flow over a (doc_id, text) table, cheapest
 filter first so each stage sees less data:
 
-    1. ``gopher_quality``  — row-local quality rules; failures are split to
-       a ``curation_rejects`` table with their flag columns (per-item error
+    1. ``gopher_quality``  — row-local quality rules with the text carried
+       through (``carry_text=True`` — splitting keeps from rejects never
+       joins the flags back to the corpus); failures go to a
+       ``curation_rejects`` table with their flag columns (per-item error
        isolation, SURVEY §2.10 F3 style);
-    2. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
+    2. optional ``--redact-pii`` rewrites the surviving text through the
+       typed-placeholder redactor BEFORE dedup, so dedup, stats and the
+       written output all see the exact text that ships (and PII variants
+       of otherwise-identical chunks dedup together);
+    3. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
        the survivors (first occurrence wins);
-    3. ``repetition_stats`` + ``token_entropy`` on the deduplicated text —
-       written alongside as ``curation_stats`` for downstream threshold
-       sweeps (stats are recomputed signals, not filters, so a re-run with
-       new thresholds needs no new scan of the raw corpus);
-    4. optional ``--redact-pii`` rewrites the surviving text through the
-       typed-placeholder redactor before it is written.
+    4. ``repetition_stats`` + ``token_entropy`` on the written curated
+       text — stored as ``curation_stats`` for downstream threshold sweeps
+       (signals, not filters: a re-run with new thresholds re-reads the
+       small curated table, not the raw corpus).
 
 Writes ``curated`` (doc_id, text, n_chunks, n_kept), ``curation_stats``
 and ``curation_rejects`` to the catalog. All stages are native Spark SQL
@@ -67,20 +71,19 @@ def main() -> None:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     catalog = Catalog(spark, args.catalog)
 
-    flags = gopher_quality(
+    flagged = gopher_quality(
         docs,
         min_words=args.min_words,
         max_words=args.max_words,
         min_stopwords=args.min_stopwords,
+        carry_text=True,
     )
-    flagged = docs.join(flags, "doc_id")
     catalog.write(flagged.filter(~F.col("keep")).drop("keep"), "curation_rejects")
     kept = flagged.filter(F.col("keep")).select("doc_id", "text")
-
-    curated = chunk_dedup(kept, chunk_words=args.chunk_words)
     if args.redact_pii:
-        curated = curated.withColumn("text", redact_pii("text"))
-    catalog.write(curated, "curated")
+        kept = kept.withColumn("text", redact_pii("text"))
+
+    catalog.write(chunk_dedup(kept, chunk_words=args.chunk_words), "curated")
 
     texts = catalog.read("curated").select("doc_id", "text")
     stats = repetition_stats(texts).join(

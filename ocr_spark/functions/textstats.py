@@ -17,10 +17,16 @@ def _c(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
-    """Tokens by whitespace split; 0 for empty/null."""
-    c = F.coalesce(_c(col), F.lit(""))
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+    """Whitespace-delimited tokens: the number of ``\\S+`` runs; 0 for
+    empty/null/whitespace-only text.
+
+    Counted directly with ``regexp_count`` — the earlier
+    ``size(split(trim(text)))`` form materialized an array AND miscounted
+    when the text had leading/trailing NON-SPACE whitespace (``F.trim``
+    strips spaces only, so ``"\\nhello"`` split to ``["", "hello"]`` — a
+    phantom empty token). SQL-oracle twin:
+    ``len(regexp_extract_all(text, '\\S+'))``."""
+    return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(r"\S+"))
 
 
 # BPE-ish pre-tokenization: letter runs, digit runs, or single non-space

@@ -53,12 +53,17 @@ __all__ = [
 
 
 def words_column(text_col: Column | str) -> Column:
-    """Whitespace word array of a text column; empty array for empty/null
-    text (never null — callers posexplode_outer without an inferred filter)."""
+    """Whitespace word array of a text column; empty array for empty/null/
+    whitespace-only text (never null — callers posexplode_outer without an
+    inferred filter).
+
+    Edges are stripped with a regexp (ALL whitespace): ``F.trim`` removes
+    spaces only, so ``"\\nhello"`` would split to a phantom empty first
+    token and corrupt every word-level statistic."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
     )
 
 
@@ -210,15 +215,19 @@ def gopher_quality(
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    carry_text: bool = False,
 ) -> DataFrame:
     """Gopher quality-rule flags per document, all native expressions.
 
-    Returns ``(id_col, n_words, mean_word_len, symbol_ratio,
+    Returns ``(id_col, [text,] n_words, mean_word_len, symbol_ratio,
     alpha_word_frac, n_stopwords, keep)`` where ``keep`` is the conjunction
     of the Gopher §A1.1 bounds (word count, mean word length, symbol-to-word
     ratio for ``#``/ellipsis, fraction of words containing a letter,
     stopword presence). Thresholds are parameters so small test corpora can
-    tighten them.
+    tighten them. ``carry_text=True`` passes the text column through so a
+    caller splitting keeps from rejects never has to JOIN the flags back to
+    the corpus (that join would shuffle the full corpus text — this
+    operator is a zero-shuffle projection, keep it that way).
 
     Purely row-local — fuses into one whole-stage-codegen projection over
     the scan; no shuffle at any corpus size.
@@ -233,6 +242,7 @@ def gopher_quality(
     stops = F.size(F.filter(F.col("words"), lambda w: F.lower(w).isin(*stopwords)))
     out = d.select(
         F.col("_id").alias(id_col),
+        *([F.col("_t").alias(text_col)] if carry_text else []),
         n.alias("n_words"),
         mean_len.alias("mean_word_len"),
         (symbols / nz).alias("symbol_ratio"),
@@ -368,17 +378,16 @@ def chunk_dedup(
         )
     )
     # totals re-scans the input (no CSE across join branches) — count words
-    # with regexp_count instead of materializing the split array, so this
-    # branch never pays the chunk-string build (measured ~2x on the whole
-    # job at 2 cores) nor the array allocation
-    raw = F.coalesce(F.col(text_col), F.lit(""))
-    trimmed = F.trim(raw)
-    n_words_cheap = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
-    )
+    # with the shared regexp_count helper instead of materializing the
+    # split array, so this branch never pays the chunk-string build
+    # (measured ~2x on the whole job at 2 cores) nor the array allocation
+    from ocr_spark.functions.textstats import whitespace_token_count
+
     totals = docs.select(
         F.col(id_col).alias("_id"),
-        F.ceil(n_words_cheap / F.lit(float(chunk_words))).cast("int").alias("n_chunks"),
+        F.ceil(whitespace_token_count(text_col) / F.lit(float(chunk_words)))
+        .cast("int")
+        .alias("n_chunks"),
     )
     return (
         totals.join(rebuilt, "_id", "left")
@@ -403,7 +412,13 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 def pii_counts(text_col: Column | str) -> dict[str, Column]:
     """Per-kind PII match counts on the ORIGINAL text (before redaction, so
-    counts are independent of replacement order)."""
+    counts are independent of replacement order).
+
+    Caveat: each pattern counts independently, so a region matching two
+    kinds is counted by BOTH (a phone-shaped digit run inside an email
+    address adds to n_phone AND n_email), while `redact_pii` consumes it
+    once, by the first pattern in `PII_PATTERNS` order — counts are match
+    statistics, not a census of emitted placeholders."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
     return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
 

@@ -93,9 +93,9 @@ JOBS = {{
         max_hamming=3, n_blocks=8, multi_index=True
     ),
     # corpus-curation scale paths over the same rendered-text input:
-    # chunk_dedup = the family's real corpus-wide shuffle (chunk-keyed
-    # keeper window + doc reassembly), repetition = the exploded
-    # token-stream aggregation (2 exchanges, map-side combined)
+    # chunk_dedup = the family's real corpus-wide shuffle (min-struct
+    # keeper aggregation + winners-only rebuild), repetition = the
+    # doc-pinned repartition + partition-local token aggregation
     "chunkdedup": lambda: chunk_dedup(
         spark.read.parquet(corpus + "_text"), chunk_words=10
     ),
@@ -298,7 +298,7 @@ def main() -> None:
         "boilerplate": "HTML boilerplate strip (W1)",
         "layout": "layout regions + reading order (W2)",
         "simhash": "SimHash near-dup pairs (pair-of-blocks multi-index)",
-        "chunkdedup": "C4 chunk dedup (keeper window + reassembly)",
+        "chunkdedup": "C4 chunk dedup (min-struct keeper + winners rebuild)",
         "repetition": "Gopher repetition stats (unioned token stream)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]

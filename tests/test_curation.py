@@ -255,3 +255,29 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     assert curated[0]["text"] == good  # first occurrence keeps everything
     assert curated[1]["n_kept"] < curated[1]["n_chunks"]  # shared chunks deduped
     assert set(stats) == {0, 1} and stats[0]["entropy"] > 0
+
+
+# ---------------------------------------------------------------------------
+# whitespace edges (review regression: F.trim strips spaces ONLY)
+# ---------------------------------------------------------------------------
+def test_no_phantom_words_from_nonspace_whitespace(spark):
+    """Leading/trailing newlines/tabs must not create empty-string words:
+    '\\nhello world' is 2 words (was 3 via trim+split), '\\n' is 0 words —
+    checked through every word-level operator and the shared token count."""
+    from ocr_spark.functions.textstats import whitespace_token_count
+
+    docs = _docs(spark, [(1, "\nhello world\t"), (2, "\n"), (3, "\ta b\nc ")])
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rep[1]["n_words"] == 2 and rep[1]["dup_word_frac"] == 0.0
+    assert rep[2]["n_words"] == 0
+    assert rep[3]["n_words"] == 3
+    gq = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert gq[1]["n_words"] == 2 and gq[1]["alpha_word_frac"] == 1.0
+    assert gq[2]["n_words"] == 0
+    cd = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert cd[1]["text"] == "hello world" and cd[1]["n_chunks"] == 1
+    assert cd[2]["text"] == "" and cd[2]["n_chunks"] == 0
+    assert cd[3]["text"] == "a b c" and cd[3]["n_chunks"] == 2
+    tc = {r["doc_id"]: r["c"] for r in docs.select(
+        "doc_id", whitespace_token_count("text").alias("c")).collect()}
+    assert tc == {1: 2, 2: 0, 3: 3}

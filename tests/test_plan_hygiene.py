@@ -228,12 +228,12 @@ def test_ann_candidate_stream_never_distincts(spark):
 
 
 def test_curation_ops_plan_shape(spark):
-    """The curation family keeps its designed shuffle budget: one unioned
-    token stream for repetition_stats (2 exchanges, no joins), chunk window
-    + doc regroup for chunk_dedup (2 exchanges), and NO inferred size()>0
-    filter re-substituting the words split below an explode (the
-    word_shingles lesson — curation materializes arrays and explodes with
-    posexplode_outer)."""
+    """The curation family keeps its designed shuffle budget: ONE doc-pinned
+    repartition for repetition_stats/token_entropy (every later groupBy is
+    partition-local), the min-struct keeper + winners rebuild + totals join
+    for chunk_dedup, and NO inferred size()>0 filter re-substituting the
+    words split below an explode (the word_shingles lesson — curation
+    materializes arrays and explodes with posexplode_outer)."""
     from ocr_spark.operators.curation import (
         chunk_dedup,
         gopher_quality,
