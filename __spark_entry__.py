@@ -510,6 +510,23 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow (jobs/curate_job.py): Gopher quality
+    filter -> C4 chunk dedup over the survivors — value-exact over the
+    reassembled deduplicated text of every kept doc."""
+    from ocr_spark.operators.curation import chunk_dedup, gopher_quality
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    kept = (
+        gopher_quality(docs, min_words=25, min_mean_word_len=2.0, carry_text=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    return chunk_dedup(kept, chunk_words=10).select(
+        "doc_id", "text", "n_chunks", "n_kept"
+    )
+
+
 def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
@@ -1317,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "chunk_dedup": q_chunk_dedup,
         "pii_redact": q_pii_redact,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2437,6 +2455,69 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_chunks, 0) as n_chunks,
                coalesce(a.n_kept, 0) as n_kept
         from documents d left join agg a using (doc_id)
+    """
+    sql["curation_pipeline"] = r"""
+        with base as (
+          select doc_id, coalesce(text, '') as t,
+                 case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
+          from documents
+        ),
+        raw as (
+          select doc_id,
+                 len(ws) as n_words,
+                 cast(length(regexp_replace(t, '\s', '', 'g')) as double)
+                   / greatest(len(ws), 1) as mean_word_len,
+                 cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
+                   / greatest(len(ws), 1) as symbol_ratio,
+                 cast(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) as double)
+                   / greatest(len(ws), 1) as alpha_word_frac,
+                 len(list_filter(ws, x -> lower(x) in
+                     ('the','be','to','of','and','that','have','with'))) as n_stopwords
+          from base
+        ),
+        kept as (
+          select doc_id from raw
+          where n_words between 25 and 100000
+            and mean_word_len between 2.0 and 10.0
+            and symbol_ratio <= 0.1
+            and alpha_word_frac >= 0.8
+            and n_stopwords >= 2
+        ),
+        words as (
+          select d.doc_id,
+                 unnest(string_split_regex(
+                   regexp_replace(d.text, '^\s+|\s+$', '', 'g'), '\s+')) as w,
+                 generate_subscripts(string_split_regex(
+                   regexp_replace(d.text, '^\s+|\s+$', '', 'g'), '\s+'), 1) as pos
+          from documents d join kept using (doc_id)
+          where regexp_replace(coalesce(d.text, ''), '^\s+|\s+$', '', 'g') <> ''
+        ),
+        ch as (
+          select doc_id, cast((pos - 1) // 10 as int) as ci,
+                 string_agg(w, ' ' order by pos) as chunk
+          from words group by doc_id, cast((pos - 1) // 10 as int)
+        ),
+        fl as (
+          select doc_id, ci, chunk,
+                 row_number() over (partition by chunk order by doc_id, ci) as rn
+          from ch
+        ),
+        agg as (
+          select doc_id,
+                 count(*) as n_chunks,
+                 sum(case when rn = 1 then 1 else 0 end) as n_kept,
+                 coalesce(string_agg(case when rn = 1 then chunk end,
+                                     ' ' order by ci), '') as text
+          from fl group by doc_id
+        )
+        select k.doc_id,
+               coalesce(a.text, '') as text,
+               coalesce(a.n_chunks, 0) as n_chunks,
+               coalesce(a.n_kept, 0) as n_kept
+        from kept k left join agg a using (doc_id)
     """
     sql["pii_redact"] = r"""
         with planted as (

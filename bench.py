@@ -109,6 +109,7 @@ HEADLINE = [
     "token_entropy",
     "chunk_dedup",
     "pii_redact",
+    "curation_pipeline",
 ]
 
 
