@@ -527,6 +527,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set decontamination (Brown et al. 2020 App. C):
+    docs sharing a lowercased word 3-gram with the benchmark slice
+    (doc_id % 97 == 0) are flagged. n=3 so the synthetic word-soup corpus
+    actually collides (real pipelines use 8-13)."""
+    from ocr_spark.operators.mixing import decontaminate
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mix weights (Pile-style epoch weighting):
+    src0 upsampled 2.5x, src1 kept at 25%, src2 dropped, everything else
+    at the 1.0 default — decided by the portable md5 uniform so DuckDB
+    recomputes the identical mix."""
+    from ocr_spark.operators.mixing import weighted_sample
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "source")
+    weights = spark.createDataFrame(
+        [("src0", 2.5), ("src1", 0.25), ("src2", 0.0)], ["source", "weight"]
+    )
+    out = weighted_sample(docs, weights, strat_col="source", seed=7)
+    return out.select(
+        "doc_id", "source", F.col("copy").alias("copy_idx")
+    ).orderBy("doc_id", "copy_idx")
+
+
 def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
@@ -1335,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "pii_redact": q_pii_redact,
         "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "weighted_mix": q_weighted_mix,
     }
 
 
@@ -2518,6 +2550,60 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_chunks, 0) as n_chunks,
                coalesce(a.n_kept, 0) as n_kept
         from kept k left join agg a using (doc_id)
+    """
+    sql["decontaminate"] = r"""
+        with base as (
+          select doc_id,
+                 case when regexp_replace(coalesce(lower(text), ''), '^\s+|\s+$', '', 'g') = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(
+                        regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') end as ws
+          from documents
+        ),
+        grams as (
+          select doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> array_to_string(ws[i:i+2], ' '))) as gram
+          from base
+        ),
+        bench as (select distinct gram from grams where doc_id % 97 = 0),
+        hits as (
+          select g.doc_id, count(distinct g.gram) as n_contaminated
+          from grams g join bench using (gram)
+          where g.doc_id % 97 <> 0
+          group by g.doc_id
+        )
+        select b.doc_id,
+               greatest(len(b.ws) - 2, 0) as n_grams,
+               coalesce(h.n_contaminated, 0) as n_contaminated,
+               coalesce(h.n_contaminated, 0) < 1 as keep
+        from base b left join hits h using (doc_id)
+        where b.doc_id % 97 <> 0
+        order by b.doc_id
+    """
+    sql["weighted_mix"] = r"""
+        with w as (
+          select doc_id, source,
+                 case source when 'src0' then 2.5 when 'src1' then 0.25
+                             when 'src2' then 0.0 else 1.0 end as wt,
+                 substring(md5('7|' || cast(doc_id as varchar)), 1, 8) as h
+          from documents
+        ),
+        u as (
+          select doc_id, source, wt,
+                 list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef', substring(h, cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) / 4294967296.0 as uu
+          from w
+        ),
+        n as (
+          select doc_id, source,
+                 cast(floor(wt) + case when uu < wt - floor(wt) then 1 else 0 end as int) as n
+          from u
+        )
+        select doc_id, source, unnest(range(0, n)) as copy_idx
+        from n
+        order by doc_id, copy_idx
     """
     sql["pii_redact"] = r"""
         with planted as (

@@ -110,6 +110,8 @@ HEADLINE = [
     "chunk_dedup",
     "pii_redact",
     "curation_pipeline",
+    "decontaminate",
+    "weighted_mix",
 ]
 
 

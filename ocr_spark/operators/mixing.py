@@ -1,0 +1,170 @@
+"""Training-mix assembly operators: eval-set decontamination and
+deterministic weighted corpus sampling.
+
+The last two steps a pretraining pipeline runs after extraction
+(operators/extract, operators/boilerplate), curation (operators/curation)
+and dedup (operators/dedup): remove documents that leak the eval benchmark
+(Brown et al. 2020 "Language Models are Few-Shot Learners", Appendix C —
+13-gram overlap decontamination), then assemble the final mix by sampling
+each source/domain at a target weight, possibly > 1 (upsampling by integer
+repetition + a fractional Bernoulli copy — the Pile/DoReMi-style epoch
+weighting, Gao et al. 2021 §1).
+
+The reference repo draws its corpus from a single curated exam-PDF source
+(/root/reference/run_pipeline.sh:118-160 — one directory, one subject
+grade at a time), so contamination control and mixing are implicit; these
+operators are the corpus-level generalization the north star's
+10^12-document interleaved table needs.
+
+Scale design:
+  * the benchmark n-gram set is DISTINCT'd and broadcast — eval suites are
+    10^6..10^7 grams, far under the broadcast ceiling; training-side grams
+    meet it in a map-side broadcast join, so the exploded training gram
+    stream NEVER shuffles (the post-join matched stream that does reach the
+    per-doc aggregation is contamination-selective, orders of magnitude
+    smaller than the corpus);
+  * per-document totals (n_grams) come from a native size() expression on
+    the raw row — the gram array is never exploded for counting;
+  * weighted sampling is a pure per-row native expression over a portable
+    md5-derived uniform (no sampling state, no shuffle): the mix decision
+    for a row is reproducible from (seed, id) alone, so resumed/retried
+    partitions make identical decisions (the F1/F2 idempotency contract);
+    upsampled copies materialize through posexplode of a bounded
+    sequence — weights are validated against a hard cap first;
+  * the per-stratum weight table is a broadcast join (tens..thousands of
+    sources), never a literal-map expression (the IVF plan-literal lesson,
+    operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import _ngrams, words_column
+
+__all__ = ["decontaminate", "portable_uniform", "weighted_sample"]
+
+_MAX_WEIGHT = 64.0  # hard upsampling cap: explode width is bounded by design
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing word n-grams with an eval benchmark.
+
+    GPT-3-style decontamination (Brown et al. 2020, Appendix C): a training
+    document is contaminated when it shares >= ``min_overlaps`` DISTINCT
+    lowercased word ``n``-grams with any benchmark document. Returns one row
+    per ``docs`` row: ``(id_col, n_grams, n_contaminated, keep)`` where
+    ``n_grams`` counts the document's grams, ``n_contaminated`` its distinct
+    benchmark-overlapping grams, and ``keep = n_contaminated <
+    min_overlaps``. Short documents (< n words) have zero grams and are
+    always kept.
+
+    Plan shape: benchmark grams -> distinct -> broadcast; training grams
+    posexplode_outer -> broadcast INNER join (map-side, nothing shuffles
+    until after the selective join) -> per-doc distinct-gram count ->
+    left join back onto native per-doc totals.
+    """
+    words = words_column(F.lower(F.col(text_col)))
+
+    bench_grams = (
+        benchmark.select(words.alias("__w"))
+        .select(F.explode_outer(_ngrams(F.col("__w"), n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+
+    doc_grams = docs.select(
+        F.col(id_col), words.alias("__w")
+    ).select(
+        id_col, F.explode_outer(_ngrams(F.col("__w"), n)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated"))
+    )
+
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("int").alias("n_grams"),
+    )
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("int").alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) < min_overlaps).alias("keep"),
+    )
+
+
+def portable_uniform(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from (seed, id), portable to any
+    engine with md5: first 8 hex chars of md5(seed || '|' || id) as an
+    integer, divided by 16^8. DuckDB recomputes it digit-by-digit (strpos
+    over the hex alphabet) — same trick as the md5-portable SimHash oracle
+    (operators/dedup.simhash_md5_dup_pairs).
+
+    32 bits of uniformity is plenty for mix rates; the value is exact in a
+    double (< 2^53), so Spark and the oracle agree bit-for-bit."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h8 = F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 8)
+    return F.conv(h8, 16, 10).cast("double") / F.lit(float(16**8))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Assemble a training mix by per-stratum target weights.
+
+    ``weights`` is a small DataFrame ``(strat_col, weight)``; a stratum's
+    documents are emitted ``floor(weight)`` times plus one more copy with
+    probability ``frac(weight)``, decided by the portable per-document
+    uniform — so ``weight=0.25`` keeps a quarter of the stratum,
+    ``weight=2.5`` emits every document twice and half of them a third
+    time (epoch-style upsampling). Strata absent from ``weights`` get
+    ``default_weight``. Output: the input columns plus ``copy`` (int,
+    0-based repetition index); deterministic in (seed, id).
+
+    The weight table is broadcast-joined (never a literal map expression);
+    the copy fan-out is a posexplode of a bounded sequence — weights above
+    a hard cap (64) raise, keeping the explode width a design constant
+    rather than a data-dependent hazard.
+    """
+    w_rows = weights.select(strat_col, "weight").collect()
+    bad = [r for r in w_rows if r["weight"] < 0 or r["weight"] > _MAX_WEIGHT]
+    if bad or not (0 <= default_weight <= _MAX_WEIGHT):
+        raise ValueError(
+            f"weights must be in [0, {_MAX_WEIGHT}]: "
+            f"{bad or [('default', default_weight)]}"
+        )
+
+    u = portable_uniform(id_col, seed)
+    w = F.coalesce(F.col("weight"), F.lit(float(default_weight)))
+    n_copies = (
+        F.floor(w).cast("int")
+        + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    with_n = docs.join(F.broadcast(weights.select(strat_col, "weight")), strat_col, "left").withColumn(
+        "__n", n_copies
+    )
+    # sequence(0, -1) would step DOWNWARD ([0, -1]) — guard n == 0
+    copies = F.when(
+        F.col("__n") >= 1, F.sequence(F.lit(0), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    out_cols = [c for c in docs.columns]
+    return (
+        with_n.select(*out_cols, F.explode(copies).alias("copy"))
+    )

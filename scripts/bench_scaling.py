@@ -33,6 +33,7 @@ from ocr_spark.operators.curation import chunk_dedup, repetition_stats
 from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
+from ocr_spark.operators.mixing import decontaminate
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
 
@@ -102,6 +103,19 @@ JOBS = {{
     "repetition": lambda: repetition_stats(
         spark.read.parquet(corpus + "_text")
     ),
+    # eval-set decontamination over the same rendered text: the ~1%
+    # xxhash64 slice plays the benchmark, the rest is training. n=3 on
+    # the small-vocab synthetic corpus makes contamination BROAD, so the
+    # post-broadcast-join matched stream (the operator's one real
+    # shuffle) is a worst-case-sized workload, not a trivially
+    # selective one
+    "decon": lambda: decontaminate(
+        spark.read.parquet(corpus + "_text").filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(97)) != 0),
+        spark.read.parquet(corpus + "_text").filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(97)) == 0),
+        n=3,
+    ),
 }}
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
@@ -109,6 +123,7 @@ JOBS = {{
 SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "chunkdedup": 1024 * 1024,
                "repetition": 1024 * 1024,
+               "decon": 1024 * 1024,
                # the token corpus is 13 MB compressed exploding to an
                # 846 MB shuffle: 64 KiB splits = 2,324 near-empty scan
                # tasks whose scheduling overhead only bites at 4N
@@ -126,6 +141,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # ragged waves at 8 cores; 4 MB keeps tasks >> cores
                   "chunkdedup": 4 * 1024 * 1024,
                   "repetition": 16 * 1024 * 1024,
+                  "decon": 16 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -245,7 +261,7 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
-    if sel & {"simhash", "chunkdedup", "repetition"} and not os.path.exists(
+    if sel & {"simhash", "chunkdedup", "repetition", "decon"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -270,7 +286,7 @@ def main() -> None:
     jobs_run = [
         j
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
-                  "chunkdedup", "repetition")
+                  "chunkdedup", "repetition", "decon")
         if j in low and j in high
     ]
     job_eff = {

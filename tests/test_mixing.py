@@ -1,0 +1,180 @@
+"""Training-mix assembly operators (operators/mixing): eval-set
+decontamination and deterministic weighted sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.mixing import decontaminate, portable_uniform, weighted_sample
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlapping_grams(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(
+        spark,
+        [
+            (1, "a quick brown fox here"),        # shares "quick brown fox"
+            (2, "totally clean document text"),   # no overlap
+            (3, ""),                              # empty: 0 grams, kept
+            (4, "two words"),                     # < n words: 0 grams, kept
+            (5, "QUICK Brown FOX jumps high"),    # case-insensitive match (2 grams)
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()}
+    assert out[1]["n_contaminated"] == 1 and not out[1]["keep"]
+    assert out[1]["n_grams"] == 3
+    assert out[2]["n_contaminated"] == 0 and out[2]["keep"]
+    assert out[3]["n_grams"] == 0 and out[3]["n_contaminated"] == 0 and out[3]["keep"]
+    assert out[4]["n_grams"] == 0 and out[4]["keep"]
+    assert out[5]["n_contaminated"] == 2 and not out[5]["keep"]
+
+
+def test_decontaminate_min_overlaps_and_distinct_counting(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    # the matching gram repeats, but distinct-gram counting sees ONE overlap
+    train = _docs(spark, [(1, "quick brown fox quick brown fox")])
+    one = decontaminate(train, bench, n=3).collect()[0]
+    assert one["n_contaminated"] == 1 and not one["keep"]
+    two = decontaminate(train, bench, n=3, min_overlaps=2).collect()[0]
+    assert two["keep"]  # below the threshold now
+
+
+def test_weighted_sample_integer_and_zero_weights(spark):
+    rows = [(i, "src0" if i % 2 == 0 else "srcZ") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = spark.createDataFrame([("src0", 2.0), ("srcZ", 0.0)], ["source", "weight"])
+    out = weighted_sample(docs, weights).collect()
+    assert all(r["source"] == "src0" for r in out)          # srcZ dropped
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert len(by_doc) == 20
+    assert all(sorted(v) == [0, 1] for v in by_doc.values())  # exactly 2 copies
+
+
+def test_weighted_sample_fractional_default_and_determinism(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = spark.createDataFrame([("src0", 2.5), ("src1", 0.25)], ["source", "weight"])
+    a = sorted((r["doc_id"], r["copy"]) for r in weighted_sample(docs, weights, seed=7).collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in weighted_sample(docs, weights, seed=7).collect())
+    assert a == b  # reproducible from (seed, id) alone
+    per_src = {}
+    for doc_id, copy in a:
+        src = f"src{doc_id % 3}"
+        per_src.setdefault(src, {}).setdefault(doc_id, 0)
+        per_src[src][doc_id] = max(per_src[src][doc_id], copy + 1)
+    # src0: every doc 2 or 3 copies; src1: subsampled below half; src2 (absent
+    # from weights): exactly one copy per doc at the 1.0 default
+    assert set(per_src["src0"].values()) <= {2, 3} and 3 in set(per_src["src0"].values())
+    assert 0 < len(per_src["src1"]) < 50
+    assert len(per_src["src2"]) == 100 and set(per_src["src2"].values()) == {1}
+    # copy indices are contiguous from 0
+    copies = {}
+    for doc_id, copy in a:
+        copies.setdefault(doc_id, []).append(copy)
+    assert all(sorted(v) == list(range(len(v))) for v in copies.values())
+
+
+def test_weighted_sample_rejects_out_of_range_weights(spark):
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    for w in (-0.5, 65.0):
+        weights = spark.createDataFrame([("s", w)], ["source", "weight"])
+        with pytest.raises(ValueError):
+            weighted_sample(docs, weights)
+    ok = spark.createDataFrame([("s", 1.0)], ["source", "weight"])
+    with pytest.raises(ValueError):
+        weighted_sample(docs, ok, default_weight=-1.0)
+
+
+def test_portable_uniform_is_uniform_enough(spark):
+    df = spark.range(2000).select(portable_uniform("id", seed=3).alias("u"))
+    row = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mu")
+    ).collect()[0]
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+    assert abs(row["mu"] - 0.5) < 0.03
+
+
+def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
+    """The packaged mix job: decontaminate -> weighted sample -> stats,
+    exercised through its argv interface against the active session."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import mix_job
+
+    rows = [
+        (1, "srcA", "the quick brown fox jumps over the lazy dog"),  # contaminated
+        (2, "srcA", "completely original prose about nothing at all"),
+        (3, "srcB", "another clean document with its own words"),
+        (4, "srcB", "yet more clean text that shares no grams"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    inp, bpath, cat = str(tmp_path / "docs"), str(tmp_path / "bench"), str(tmp_path / "cat")
+    docs.write.parquet(inp)
+    bench.write.parquet(bpath)
+    wpath = tmp_path / "weights.csv"
+    wpath.write_text("srcA,3.0\n")  # srcB takes the 1.0 default
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["mix_job.py", "--input", inp, "--benchmark", bpath, "--weights",
+         str(wpath), "--catalog", cat, "--ngram", "3"],
+    )
+    mix_job.main()
+
+    bad = [r["doc_id"] for r in spark.read.parquet(f"{cat}/mix_contaminated").collect()]
+    assert bad == [1]
+    mix = spark.read.parquet(f"{cat}/mix").collect()
+    by_doc = {}
+    for r in mix:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert 1 not in by_doc                       # contaminated doc excluded
+    assert sorted(by_doc[2]) == [0, 1, 2]        # srcA upsampled 3x
+    assert sorted(by_doc[3]) == [0] and sorted(by_doc[4]) == [0]
+    stats = {r["source"]: r for r in spark.read.parquet(f"{cat}/mix_stats").collect()}
+    assert stats["srcA"]["n_docs"] == 2 and stats["srcA"]["n_contaminated"] == 1
+    assert stats["srcA"]["n_sampled"] == 3
+    assert stats["srcB"]["n_sampled"] == 2
+
+
+def test_mixing_plan_shape(spark):
+    """decontaminate: training grams meet the benchmark set in a map-side
+    broadcast join (never a shuffled join of the exploded gram stream), the
+    gram lambdas reference a materialized words ATTRIBUTE (no re-inlined
+    split — the word_shingles lesson), and the shuffle budget is the three
+    designed aggregations (bench distinct, per-(doc,gram) distinct, per-doc
+    count). weighted_sample: zero shuffles — one broadcast of the weight
+    table, everything else row-local."""
+    rows = [(i, f"src{i % 3}", f"alpha beta gamma {i % 7} delta epsilon") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+    p = decontaminate(train, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p[:2000]
+    # 3 designed shuffles (bench distinct, per-(doc,gram) distinct, per-doc
+    # count) + up to 2 for the final totals<->counts join: createDataFrame
+    # inputs carry no size stats so it plans as SMJ here (on parquet it
+    # broadcasts; at 10^12 docs AQE decides — deliberately unhinted, the
+    # matched side can be billions of rows on a contaminated corpus)
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 5, p[:2000]
+    bad = [l for l in p.splitlines() if "lambdafunction" in l and "split(" in l]
+    assert not bad, bad[:2]
+    bad = [l for l in p.splitlines() if "Filter" in l and "split(" in l]
+    assert not bad, bad[:2]
+
+    weights = docs.sparkSession.createDataFrame([("src0", 2.5)], ["source", "weight"])
+    p = weighted_sample(docs.select("doc_id", "source"), weights)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") - p.count("BroadcastExchange") == 0, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
