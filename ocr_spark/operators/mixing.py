@@ -68,15 +68,20 @@ def decontaminate(
     always kept.
 
     Plan shape: benchmark grams -> distinct -> broadcast; training grams
-    posexplode_outer -> broadcast INNER join (map-side, nothing shuffles
-    until after the selective join) -> per-doc distinct-gram count ->
-    left join back onto native per-doc totals.
+    array_distinct'd PER ROW then explode_outer -> broadcast INNER join
+    (map-side, nothing shuffles until after the selective join) -> per-doc
+    count -> left join back onto native per-doc totals. A document's grams
+    all come from ONE input row, so the row-local array_distinct makes the
+    exploded stream doc-locally distinct already: the per-doc aggregation
+    is a plain count with map-side combine (one partial row per doc, a
+    few bytes) instead of a count_distinct whose (doc, gram) pre-distinct
+    shuffled the full matched gram text (~600 MB at 500k docs, measured).
     """
     words = words_column(F.lower(F.col(text_col)))
 
     bench_grams = (
         benchmark.select(words.alias("__w"))
-        .select(F.explode_outer(_ngrams(F.col("__w"), n)).alias("gram"))
+        .select(F.explode_outer(F.array_distinct(_ngrams(F.col("__w"), n))).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
     )
@@ -84,13 +89,13 @@ def decontaminate(
     doc_grams = docs.select(
         F.col(id_col), words.alias("__w")
     ).select(
-        id_col, F.explode_outer(_ngrams(F.col("__w"), n)).alias("gram")
+        id_col, F.explode_outer(F.array_distinct(_ngrams(F.col("__w"), n))).alias("gram")
     ).filter(F.col("gram").isNotNull())
 
     matched = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_contaminated"))
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
 
     totals = docs.select(

@@ -141,7 +141,10 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # ragged waves at 8 cores; 4 MB keeps tasks >> cores
                   "chunkdedup": 4 * 1024 * 1024,
                   "repetition": 16 * 1024 * 1024,
-                  "decon": 16 * 1024 * 1024,
+                  # decon's matched-stream distinct lands ~11 post-shuffle
+                  # tasks under 16 MB at 120k (1.4 ragged waves at 8c) —
+                  # same granularity artifact as chunkdedup
+                  "decon": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
