@@ -557,6 +557,27 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "copy_idx")
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split via the portable md5
+    uniform. Fractions are binary-exact (0.75/0.125/0.125) so the
+    cumulative ladder is bit-identical across engines."""
+    from ocr_spark.operators.mixing import split_corpus
+
+    docs = _docs_table(spark, sf_dir).select("doc_id")
+    return split_corpus(
+        docs, fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=11
+    ).orderBy("doc_id")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 20 most frequent word 3-grams (C4-style blocklist
+    sweep), ties broken by gram ascending."""
+    from ocr_spark.operators.curation import top_ngrams
+
+    docs = _docs_table(spark, sf_dir).select("text")
+    return top_ngrams(docs, n=3, k=20)
+
+
 def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
@@ -1367,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "weighted_mix": q_weighted_mix,
+        "split_corpus": q_split_corpus,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -2604,6 +2627,42 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, source, unnest(range(0, n)) as copy_idx
         from n
         order by doc_id, copy_idx
+    """
+    sql["split_corpus"] = r"""
+        with u as (
+          select doc_id,
+                 list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('11|' || cast(doc_id as varchar)), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) / 4294967296.0 as uu
+          from documents
+        )
+        select doc_id,
+               case when uu < 0.125 then 'test'
+                    when uu < 0.875 then 'train'
+                    else 'val' end as split
+        from u
+        order by doc_id
+    """
+    sql["top_ngrams"] = r"""
+        with base as (
+          select case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
+          from documents
+        ),
+        grams as (
+          select unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> array_to_string(ws[i:i+2], ' '))) as gram
+          from base
+        )
+        select gram, cast(count(*) as bigint) as n_occurrences
+        from grams
+        group by gram
+        order by n_occurrences desc, gram
+        limit 20
     """
     sql["pii_redact"] = r"""
         with planted as (

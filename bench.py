@@ -112,6 +112,8 @@ HEADLINE = [
     "curation_pipeline",
     "decontaminate",
     "weighted_mix",
+    "split_corpus",
+    "top_ngrams",
 ]
 
 

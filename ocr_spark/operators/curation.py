@@ -44,6 +44,7 @@ __all__ = [
     "repetition_stats",
     "gopher_quality",
     "token_entropy",
+    "top_ngrams",
     "chunk_dedup",
     "pii_counts",
     "redact_pii",
@@ -303,6 +304,40 @@ def token_entropy(
             .otherwise(F.lit(0.0))
             .alias("entropy"),
         )
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams: ``(gram, n_occurrences)``,
+    the k most frequent, ties broken by gram ascending (deterministic).
+
+    The corpus-frequency sweep behind badword/template/boilerplate list
+    construction (C4's blocklist pass, Raffel et al. 2020 §2.2) and vocab
+    sanity checks. Counts EVERY occurrence (unlike `decontaminate`, which
+    distincts per document).
+
+    Scale shape: grams materialize per row and explode with
+    ``posexplode_outer`` (no inferred filter re-substituting the split);
+    the count is a hash aggregate with map-side combine (one partial row
+    per distinct gram per task — duplicate mass collapses before the
+    shuffle, the chunk_dedup lesson), and the top-k is
+    TakeOrderedAndProject (two bounded heaps, never a global sort).
+    """
+    words = words_column(text_col)
+    grams = docs.select(words.alias("__w")).select(
+        F.posexplode_outer(_ngrams(F.col("__w"), n)).alias("_p", "gram")
+    )
+    return (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
     )
 
 

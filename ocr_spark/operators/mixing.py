@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.curation import _ngrams, words_column
 
-__all__ = ["decontaminate", "portable_uniform", "weighted_sample"]
+__all__ = ["decontaminate", "portable_uniform", "split_corpus", "weighted_sample"]
 
 _MAX_WEIGHT = 64.0  # hard upsampling cap: explode width is bounded by design
 
@@ -122,6 +122,45 @@ def portable_uniform(id_col: Column | str, seed: int = 0) -> Column:
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h8 = F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string"))), 1, 8)
     return F.conv(h8, 16, 10).cast("double") / F.lit(float(16**8))
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic holdout split: adds a ``split`` label column.
+
+    ``fractions`` maps label -> fraction (must sum to 1 within 1e-9);
+    default ``{"train": 0.98, "val": 0.01, "test": 0.01}``. A document's
+    label is decided by where its portable uniform falls in the cumulative
+    fraction ladder — row-local, no shuffle, reproducible from (seed, id)
+    alone, and stable under corpus growth: adding documents never moves an
+    existing document between splits (the property random-number splits
+    lack), so eval holdouts stay fixed across ingest increments.
+
+    Labels are laddered in SORTED order so the assignment is a pure
+    function of (fractions, seed, id), not of dict insertion order.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be non-negative: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}: {fractions}")
+
+    u = portable_uniform(id_col, seed)
+    expr = None
+    cum = 0.0
+    labels = sorted(fractions)
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond, val = u < F.lit(cum), F.lit(label)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    # the last label takes the remainder (avoids FP-edge unassigned rows)
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return docs.withColumn("split", expr)
 
 
 def weighted_sample(

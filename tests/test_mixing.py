@@ -101,6 +101,53 @@ def test_portable_uniform_is_uniform_enough(spark):
     assert abs(row["mu"] - 0.5) < 0.03
 
 
+def test_split_corpus_labels_and_stability(spark):
+    from ocr_spark.operators.mixing import split_corpus
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r["split"] for r in split_corpus(
+        docs, fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=11
+    ).collect()}
+    assert len(out) == 2000 and set(out.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in out.values() if v == s) for s in ("train", "val", "test")}
+    assert abs(counts["train"] / 2000 - 0.75) < 0.05
+    assert abs(counts["val"] / 2000 - 0.125) < 0.03
+    # growth stability: the label is a pure function of (fractions, seed, id),
+    # so a half-size corpus assigns the SAME labels to the shared ids
+    half = {r["doc_id"]: r["split"] for r in split_corpus(
+        spark.range(1000).withColumnRenamed("id", "doc_id"),
+        fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=11
+    ).collect()}
+    assert all(out[i] == half[i] for i in half)
+
+
+def test_split_corpus_validates_fractions(spark):
+    from ocr_spark.operators.mixing import split_corpus
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_corpus(docs, fractions={"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(docs, fractions={"a": 1.5, "b": -0.5})
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from ocr_spark.operators.curation import top_ngrams
+
+    docs = _docs(spark, [
+        (1, "a b c a b c"),      # "a b c" x2, "b c a", "c a b"
+        (2, "a b c"),            # "a b c" once more
+        (3, "x y z"),
+        (4, ""),
+    ])
+    rows = top_ngrams(docs, n=3, k=3).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in rows] == [
+        ("a b c", 3), ("b c a", 1), ("c a b", 1)  # ties broken gram-ascending
+    ]
+    plan = top_ngrams(docs, n=3, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]  # never a global sort
+
+
 def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
     """The packaged mix job: decontaminate -> weighted sample -> stats,
     exercised through its argv interface against the active session."""
