@@ -29,7 +29,7 @@ sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
 from ocr_spark.operators.boilerplate import strip_boilerplate
 from ocr_spark.operators.extract import extract_docs, render_markdown
-from ocr_spark.operators.curation import chunk_dedup, repetition_stats
+from ocr_spark.operators.curation import chunk_dedup, repetition_stats, top_ngrams
 from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
@@ -109,6 +109,12 @@ JOBS = {{
     # post-broadcast-join matched stream (the operator's one real
     # shuffle) is a worst-case-sized workload, not a trivially
     # selective one
+    # corpus-wide gram frequency: explode + map-side-combined count +
+    # TakeOrdered — the shuffle carries one partial row per distinct gram
+    # per task, a real volume on this high-entropy corpus
+    "topngrams": lambda: top_ngrams(
+        spark.read.parquet(corpus + "_text"), n=3, k=100
+    ),
     "decon": lambda: decontaminate(
         spark.read.parquet(corpus + "_text").filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(97)) != 0),
@@ -124,6 +130,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "chunkdedup": 1024 * 1024,
                "repetition": 1024 * 1024,
                "decon": 1024 * 1024,
+               "topngrams": 1024 * 1024,
                # the token corpus is 13 MB compressed exploding to an
                # 846 MB shuffle: 64 KiB splits = 2,324 near-empty scan
                # tasks whose scheduling overhead only bites at 4N
@@ -145,6 +152,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # tasks under 16 MB at 120k (1.4 ragged waves at 8c) —
                   # same granularity artifact as chunkdedup
                   "decon": 4 * 1024 * 1024,
+                  "topngrams": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -264,7 +272,7 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
-    if sel & {"simhash", "chunkdedup", "repetition", "decon"} and not os.path.exists(
+    if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -289,7 +297,7 @@ def main() -> None:
     jobs_run = [
         j
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
-                  "chunkdedup", "repetition", "decon")
+                  "chunkdedup", "repetition", "decon", "topngrams")
         if j in low and j in high
     ]
     job_eff = {
