@@ -1491,7 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         )
         select doc_id, source from unioned
         qualify row_number() over (
-          partition by trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          partition by trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g'))
           order by doc_id) = 1
     """
     sql["dedup_jaccard"] = r"""
@@ -1504,8 +1504,8 @@ def oracle_sql() -> dict[str, str]:
         sh as (
           select doc_id,
                  list_distinct(list_transform(
-                   range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2, 1) + 1),
-                   i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+                   range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' '), i, i + 2), ' ')
                  )) as shingles
           from base
         )
@@ -1536,8 +1536,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["token_stats"] = r"""
         select doc_id,
-               len(regexp_extract_all(text, '\S+')) as ws_tokens,
-               len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) as bpe_tokens,
+               len(regexp_extract_all(text, '[^\s\x0b]+')) as ws_tokens,
+               len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s\x0b]')) as bpe_tokens,
                length(text) as n_chars_obs
         from documents
     """
@@ -1570,8 +1570,8 @@ def oracle_sql() -> dict[str, str]:
                  greatest(length(text), 1) as total,
                  len(regexp_extract_all(text, '[[:punct:]。、「」・]')) as punct,
                  len(regexp_extract_all(text, '[0-9]')) as digit,
-                 len(regexp_extract_all(text, '\s')) as space,
-                 len(regexp_extract_all(text, '\S+')) as ws_tokens
+                 len(regexp_extract_all(text, '[\s\x0b]')) as space,
+                 len(regexp_extract_all(text, '[^\s\x0b]+')) as ws_tokens
           from documents
         )
         select doc_id,
@@ -1887,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         norm as (
           select doc_id,
-                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as nt
+                 trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')) as nt
           from un
         )
         select a.doc_id as id_a, b.doc_id as id_b
@@ -1902,7 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         words as (
           select doc_id,
-                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as w
+                 string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ') as w
           from un
         ),
         chunks as (
@@ -1925,7 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         words as (
           select doc_id,
-                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) as w
+                 unnest(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ')) as w
           from un
         ),
         h as (select doc_id, md5(w) as h from words),
@@ -2090,9 +2090,9 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(string_agg(
                    case when kind = 'choice' then
                      coalesce(nullif(regexp_extract(word,
-                       '^\\s*(\\d+)[\\.．、]?\\s*(.*)$', 1), ''), '')
+                       '^[\\s\\x0b]*(\\d+)[\\.．、]?[\\s\\x0b]*(.*)$', 1), ''), '')
                      || '. ' ||
-                     regexp_extract(word, '^\\s*(\\d+)[\\.．、]?\\s*(.*)$', 2)
+                     regexp_extract(word, '^[\\s\\x0b]*(\\d+)[\\.．、]?[\\s\\x0b]*(.*)$', 2)
                      || chr(10)
                    end, '' order by pos), '') as choices_md,
                  sum(case when kind = 'choice' then 1 else 0 end) as n_choices
@@ -2251,11 +2251,11 @@ def oracle_sql() -> dict[str, str]:
         feat as (
           select doc_id, cast(block_no as int) as block_no,
                  trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
-                                     '\\s+', ' ', 'g')) as text,
+                                     '[\\s\\x0b]+', ' ', 'g')) as text,
                  cast(coalesce(list_sum(list_transform(
                         regexp_extract_all(raw, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
                         a -> length(trim(regexp_replace(regexp_replace(a,
-                               '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))), 0)
+                               '(?s)<[^>]*>', ' ', 'g'), '[\\s\\x0b]+', ' ', 'g'))))), 0)
                       as int) as link_chars,
                  cast(len(regexp_extract_all(raw, '(?s)<[^>]*>')) as int) as n_tags
           from blocks
@@ -2391,11 +2391,11 @@ def oracle_sql() -> dict[str, str]:
           -- leading newline/tab would make a phantom '' first word
           select doc_id,
                  unnest(string_split_regex(
-                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) as w,
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
                  generate_subscripts(string_split_regex(
-                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), 1) as pos
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
           from documents
-          where regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') <> ''
+          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
         )
     """
     sql["repetition_stats"] = f"""
@@ -2440,16 +2440,16 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_quality"] = r"""
         with base as (
           select doc_id, coalesce(text, '') as t,
-                 case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
+                 case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
                       then cast([] as varchar[])
                       else string_split_regex(
-                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
+                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
           from documents
         ),
         raw as (
           select doc_id,
                  len(ws) as n_words,
-                 cast(length(regexp_replace(t, '\s', '', 'g')) as double)
+                 cast(length(regexp_replace(t, '[\s\x0b]', '', 'g')) as double)
                    / greatest(len(ws), 1) as mean_word_len,
                  cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
                    / greatest(len(ws), 1) as symbol_ratio,
@@ -2514,16 +2514,16 @@ def oracle_sql() -> dict[str, str]:
     sql["curation_pipeline"] = r"""
         with base as (
           select doc_id, coalesce(text, '') as t,
-                 case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
+                 case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
                       then cast([] as varchar[])
                       else string_split_regex(
-                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
+                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
           from documents
         ),
         raw as (
           select doc_id,
                  len(ws) as n_words,
-                 cast(length(regexp_replace(t, '\s', '', 'g')) as double)
+                 cast(length(regexp_replace(t, '[\s\x0b]', '', 'g')) as double)
                    / greatest(len(ws), 1) as mean_word_len,
                  cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
                    / greatest(len(ws), 1) as symbol_ratio,
@@ -2544,11 +2544,11 @@ def oracle_sql() -> dict[str, str]:
         words as (
           select d.doc_id,
                  unnest(string_split_regex(
-                   regexp_replace(d.text, '^\s+|\s+$', '', 'g'), '\s+')) as w,
+                   regexp_replace(d.text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
                  generate_subscripts(string_split_regex(
-                   regexp_replace(d.text, '^\s+|\s+$', '', 'g'), '\s+'), 1) as pos
+                   regexp_replace(d.text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
           from documents d join kept using (doc_id)
-          where regexp_replace(coalesce(d.text, ''), '^\s+|\s+$', '', 'g') <> ''
+          where regexp_replace(coalesce(d.text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
         ),
         ch as (
           select doc_id, cast((pos - 1) // 10 as int) as ci,
@@ -2577,10 +2577,10 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = r"""
         with base as (
           select doc_id,
-                 case when regexp_replace(coalesce(lower(text), ''), '^\s+|\s+$', '', 'g') = ''
+                 case when regexp_replace(coalesce(lower(text), ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
                       then cast([] as varchar[])
                       else string_split_regex(
-                        regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') end as ws
+                        regexp_replace(lower(text), '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
           from documents
         ),
         grams as (
@@ -2647,10 +2647,10 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["top_ngrams"] = r"""
         with base as (
-          select case when regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') = ''
+          select case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
                       then cast([] as varchar[])
                       else string_split_regex(
-                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') end as ws
+                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
           from documents
         ),
         grams as (

@@ -143,11 +143,13 @@ def split_corpus(
     Labels are laddered in SORTED order so the assignment is a pure
     function of (fractions, seed, id), not of dict insertion order.
     """
-    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
-    if not fractions or any(f < 0 for f in fractions.values()):
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    # inverted comparisons so NaN fails validation (NaN compares False)
+    if not fractions or not all(f >= 0 for f in fractions.values()):
         raise ValueError(f"fractions must be non-negative: {fractions}")
     total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
+    if not (abs(total - 1.0) <= 1e-9):
         raise ValueError(f"fractions must sum to 1, got {total}: {fractions}")
 
     u = portable_uniform(id_col, seed)

@@ -109,18 +109,18 @@ JOBS = {{
     # post-broadcast-join matched stream (the operator's one real
     # shuffle) is a worst-case-sized workload, not a trivially
     # selective one
-    # corpus-wide gram frequency: explode + map-side-combined count +
-    # TakeOrdered — the shuffle carries one partial row per distinct gram
-    # per task, a real volume on this high-entropy corpus
-    "topngrams": lambda: top_ngrams(
-        spark.read.parquet(corpus + "_text"), n=3, k=100
-    ),
     "decon": lambda: decontaminate(
         spark.read.parquet(corpus + "_text").filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(97)) != 0),
         spark.read.parquet(corpus + "_text").filter(
             F.pmod(F.xxhash64("doc_id"), F.lit(97)) == 0),
         n=3,
+    ),
+    # corpus-wide gram frequency: explode + map-side-combined count +
+    # TakeOrdered — the shuffle carries one partial row per distinct gram
+    # per task, a real volume on this high-entropy corpus
+    "topngrams": lambda: top_ngrams(
+        spark.read.parquet(corpus + "_text"), n=3, k=100
     ),
 }}
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
@@ -148,9 +148,10 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # ragged waves at 8 cores; 4 MB keeps tasks >> cores
                   "chunkdedup": 4 * 1024 * 1024,
                   "repetition": 16 * 1024 * 1024,
-                  # decon's matched-stream distinct lands ~11 post-shuffle
-                  # tasks under 16 MB at 120k (1.4 ragged waves at 8c) —
-                  # same granularity artifact as chunkdedup
+                  # decon's post-join per-doc count (and topngrams' gram
+                  # count) land ~11 post-shuffle tasks under 16 MB at 120k
+                  # (1.4 ragged waves at 8c) — same granularity artifact
+                  # as chunkdedup
                   "decon": 4 * 1024 * 1024,
                   "topngrams": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:

@@ -129,6 +129,10 @@ def test_split_corpus_validates_fractions(spark):
         split_corpus(docs, fractions={"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         split_corpus(docs, fractions={"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError):
+        split_corpus(docs, fractions={"a": float("nan"), "b": 0.5, "c": 0.5})
+    with pytest.raises(ValueError):
+        split_corpus(docs, fractions={})  # empty dict is an error, not the default
 
 
 def test_top_ngrams_counts_and_ties(spark):
@@ -193,6 +197,27 @@ def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
     assert stats["srcA"]["n_docs"] == 2 and stats["srcA"]["n_contaminated"] == 1
     assert stats["srcA"]["n_sampled"] == 3
     assert stats["srcB"]["n_sampled"] == 2
+
+
+def test_oracle_whitespace_class_matches_java(spark):
+    """Java's \\s includes vertical tab (U+000B); RE2's (DuckDB) does not.
+    Every word-splitting oracle therefore uses [\\s\\x0b] — this pins that
+    the two engines tokenize a vertical-tab string identically."""
+    import duckdb
+
+    from ocr_spark.operators.curation import words_column
+
+    text = "a\x0bb c\td"
+    spark_words = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(words_column("text").alias("w"))
+        .collect()[0]["w"]
+    )
+    duck_words = duckdb.sql(
+        r"select string_split_regex(regexp_replace($t$" + text + r"$t$,"
+        r" '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') as w"
+    ).fetchone()[0]
+    assert spark_words == duck_words == ["a", "b", "c", "d"]
 
 
 def test_mixing_plan_shape(spark):
