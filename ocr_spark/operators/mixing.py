@@ -55,6 +55,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_overlaps: int = 1,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Flag training documents sharing word n-grams with an eval benchmark.
 
@@ -76,6 +77,13 @@ def decontaminate(
     is a plain count with map-side combine (one partial row per doc, a
     few bytes) instead of a count_distinct whose (doc, gram) pre-distinct
     shuffled the full matched gram text (~600 MB at 500k docs, measured).
+
+    ``broadcast_benchmark`` (default True) forces the broadcast: eval
+    suites are typically 10^6..10^7 distinct grams, far under the build
+    ceiling. Pass False when the benchmark side is itself corpus-sized
+    (e.g. cross-corpus overlap audits) — the gram join becomes a plain
+    shuffled equi-join; every other stage is unchanged, and the training
+    gram stream pays one extra exchange on ``gram``.
     """
     words = words_column(F.lower(F.col(text_col)))
 
@@ -92,8 +100,9 @@ def decontaminate(
         id_col, F.explode_outer(F.array_distinct(_ngrams(F.col("__w"), n))).alias("gram")
     ).filter(F.col("gram").isNotNull())
 
+    bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
     matched = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        doc_grams.join(bench_side, "gram")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )

@@ -34,6 +34,23 @@ def test_decontaminate_flags_overlapping_grams(spark):
     assert out[5]["n_contaminated"] == 2 and not out[5]["keep"]
 
 
+def test_decontaminate_shuffle_join_fallback_matches_broadcast(spark):
+    """broadcast_benchmark=False (corpus-sized benchmark side) gives the
+    identical answer through a shuffled gram join."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(spark, [(1, "a quick brown fox here"), (2, "clean text entirely")])
+    a = sorted(map(tuple, decontaminate(train, bench, n=3).collect()))
+    fb = decontaminate(train, bench, n=3, broadcast_benchmark=False)
+    b = sorted(map(tuple, fb.collect()))
+    assert a == b
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    # no forced broadcast on the gram join (AQE may still convert at runtime
+    # when stats allow — the point is the hint is gone)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+
+
 def test_decontaminate_min_overlaps_and_distinct_counting(spark):
     bench = _docs(spark, [(100, "the quick brown fox jumps")])
     # the matching gram repeats, but distinct-gram counting sees ONE overlap
