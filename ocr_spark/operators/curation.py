@@ -45,6 +45,7 @@ __all__ = [
     "gopher_quality",
     "token_entropy",
     "top_ngrams",
+    "top_ngrams_hashed",
     "chunk_dedup",
     "pii_counts",
     "redact_pii",
@@ -334,6 +335,54 @@ def top_ngrams(
     )
     return (
         grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_hashed(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-pass scale variant of :func:`top_ngrams` for corpora where the
+    count shuffle dominates: pass 1 counts 64-bit gram HASHES (the shuffle
+    carries 8-byte keys instead of ~25-byte gram strings — a ~3x shuffle-
+    volume cut on high-entropy corpora where most grams are distinct and
+    map-side combine can't collapse them), TakeOrdered picks the k winning
+    hashes; pass 2 re-scans, keeps only grams whose hash won (a k-literal
+    isin — k is bounded), and recounts those EXACTLY by text.
+
+    Same output contract as top_ngrams — (gram, n_occurrences), count-desc
+    then gram-asc — with two documented deviations: (1) a 64-bit collision
+    merges two grams' counts in pass 1 (P ≈ d²/2⁶⁵; both texts then reach
+    pass 2 and are recounted exactly, so a collision can only ADD a
+    spurious candidate, never corrupt a count); (2) when the k-th place is
+    tied, pass 1 breaks the tie by hash, not gram, so WHICH tied gram wins
+    can differ from the exact variant (pytest pins equality where counts
+    are untied).
+    """
+    words = words_column(text_col)
+    grams = docs.select(words.alias("__w")).select(
+        F.posexplode_outer(_ngrams(F.col("__w"), n)).alias("_p", "gram")
+    ).filter(F.col("gram").isNotNull())
+
+    winners = (
+        grams.groupBy(F.xxhash64("gram").alias("__h"))
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__h"))
+        .limit(k)
+    )
+    # k rows — driver-side by design (bounded by the function contract)
+    win_hashes = [r["__h"] for r in winners.collect()]
+    if not win_hashes:
+        return grams.select("gram", F.lit(0).cast("long").alias("n_occurrences")).limit(0)
+
+    return (
+        grams.filter(F.xxhash64("gram").isin(win_hashes))
         .groupBy("gram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))

@@ -169,6 +169,27 @@ def test_top_ngrams_counts_and_ties(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]  # never a global sort
 
 
+def test_top_ngrams_hashed_matches_exact_on_untied_counts(spark):
+    """The two-pass hashed variant equals the exact one wherever counts are
+    untied, and its pass-1 shuffle partitions on the 64-bit hash, not the
+    gram string."""
+    from ocr_spark.operators.curation import top_ngrams, top_ngrams_hashed
+
+    # 3-word docs only: no intra-doc bridging grams, so counts are untied
+    docs = _docs(spark, [
+        (1, "a b c"), (2, "a b c"), (3, "a b c"),   # "a b c" x3
+        (4, "d e f"), (5, "d e f"),                 # "d e f" x2
+        (6, "g h i"),
+        (7, ""),
+    ])
+    exact = [(r["gram"], r["n_occurrences"]) for r in top_ngrams(docs, n=3, k=2).collect()]
+    hashed = [(r["gram"], r["n_occurrences"]) for r in top_ngrams_hashed(docs, n=3, k=2).collect()]
+    assert exact == hashed == [("a b c", 3), ("d e f", 2)]
+    # empty corpus: zero rows, stable schema
+    empty = top_ngrams_hashed(_docs(spark, [(1, "")]), n=3, k=5)
+    assert empty.count() == 0 and empty.columns == ["gram", "n_occurrences"]
+
+
 def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
     """The packaged mix job: decontaminate -> weighted sample -> stats,
     exercised through its argv interface against the active session."""
