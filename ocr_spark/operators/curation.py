@@ -356,6 +356,13 @@ def top_ngrams_hashed(
     hashes; pass 2 re-scans, keeps only grams whose hash won (a k-literal
     isin — k is bounded), and recounts those EXACTLY by text.
 
+    Measured at 500k docs / local[8]: pass-1 shuffle 46.6 MB vs the exact
+    variant's 112.6 MB (2.4x cut), wall 35.4 s vs 18.7 s — the sandbox is
+    compute-bound, so the second scan costs more than the shuffle saves
+    HERE. Use this variant when the count exchange is the bottleneck
+    (wide clusters, slow interconnect, gram cardinality >> combiner
+    effectiveness); use :func:`top_ngrams` when scan/CPU dominates.
+
     Same output contract as top_ngrams — (gram, n_occurrences), count-desc
     then gram-asc — with two documented deviations: (1) a 64-bit collision
     merges two grams' counts in pass 1 (P ≈ d²/2⁶⁵; both texts then reach
