@@ -578,6 +578,21 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, n=3, k=20)
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized candidate scan + exact rescore (operators/quantize):
+    the 4x-smaller-storage ANN path. The oracle recomputes the identical
+    quantization (round half away from zero in both engines), the identical
+    left-associated approx product, and the same rescore."""
+    from ocr_spark.operators.quantize import topk_similar_quantized
+
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    qvec = [float(x) for x in emb.filter(F.col("doc_id") == 0).collect()[0]["embedding"]]
+    out = topk_similar_quantized(
+        emb.filter(F.col("doc_id") != 0), qvec, k=10, rescore_factor=4
+    )
+    return out.select("doc_id", F.round("similarity", 4).alias("similarity"))
+
+
 def q_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
     qvec = emb.filter(F.col("doc_id") == 0).select("embedding").collect()[0][0]
@@ -1390,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "split_corpus": q_split_corpus,
         "top_ngrams": q_top_ngrams,
+        "quantized_topk": q_quantized_topk,
     }
 
 
@@ -1591,6 +1607,30 @@ def oracle_sql() -> dict[str, str]:
         where vec_id <> 0
         order by list_cosine_similarity(embedding::DOUBLE[],
                  (select embedding from embeddings where vec_id = 0)::DOUBLE[]) desc, vec_id
+        limit 10
+    """
+    sql["quantized_topk"] = """
+        with qrow as (select embedding::DOUBLE[] as v,
+                             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 as s
+                      from embeddings where vec_id = 0),
+        qq as (select v as query_v, s as query_s,
+                      case when s > 0 then list_transform(v, x -> round(x / s))
+                           else list_transform(v, x -> 0.0) end as query_q
+               from qrow),
+        e as (select vec_id as doc_id, embedding::DOUBLE[] as v,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 as s
+              from embeddings where vec_id <> 0),
+        eq as (select doc_id, v, s,
+                      case when s > 0 then list_transform(v, x -> round(x / s))
+                           else list_transform(v, x -> 0.0) end as qa
+               from e),
+        cand as (select doc_id, v, query_v,
+                        list_dot_product(qa, query_q) * s * query_s as approx
+                 from eq cross join qq
+                 order by approx desc, doc_id limit 40)
+        select doc_id, round(list_cosine_similarity(v, query_v), 4) as similarity
+        from cand
+        order by list_cosine_similarity(v, query_v) desc, doc_id
         limit 10
     """
     sql["topk_per_query"] = """

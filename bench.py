@@ -114,6 +114,7 @@ HEADLINE = [
     "weighted_mix",
     "split_corpus",
     "top_ngrams",
+    "quantized_topk",
 ]
 
 
