@@ -91,8 +91,32 @@ def _java_repl_to_re2(repl: str) -> str:
 
 def _re2_pattern(pat: str) -> str:
     """Strip the Unicode flag (RE2 classes are ASCII; oracle inputs are ASCII
-    for \\w/\\d-bearing patterns, so semantics agree)."""
-    return pat.replace("(?mU)", "(?m)").replace("(?U)", "")
+    for \\w/\\d-bearing patterns, so semantics agree) and align whitespace:
+    Java's \\s includes vertical tab (U+000B), RE2's does not, so every \\s
+    becomes [\\s\\x0b] (or \\s\\x0b inside an existing class) and a bare \\S
+    becomes [^\\s\\x0b] — same convention as the hand-written oracle SQL."""
+    pat = pat.replace("(?mU)", "(?m)").replace("(?U)", "")
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            nxt = pat[i + 1]
+            if nxt == "s":
+                out.append("\\s\\x0b" if in_class else "[\\s\\x0b]")
+            elif nxt == "S" and not in_class:
+                out.append("[^\\s\\x0b]")
+            else:
+                out.append(ch + nxt)
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _sql_quote(s: str) -> str:
@@ -125,7 +149,10 @@ def _layout_chain_sql(expr: str) -> str:
             f"{_sql_quote(_java_repl_to_re2(repl))}, 'g')"
         )
     for pat, repl in _CHOICE_RULE_SQL:
-        out = f"regexp_replace({out}, {_sql_quote(pat)}, {_sql_quote(repl)}, 'g')"
+        out = (
+            f"regexp_replace({out}, {_sql_quote(_re2_pattern(pat))}, "
+            f"{_sql_quote(repl)}, 'g')"
+        )
     return out
 
 
@@ -1627,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         cand as (select doc_id, v, query_v,
                         list_dot_product(qa, query_q) * s * query_s as approx
                  from eq cross join qq
+                 where s > 0  -- zero vector: cosine undefined (Spark twin filters qscale > 0)
                  order by approx desc, doc_id limit 40)
         select doc_id, round(list_cosine_similarity(v, query_v), 4) as similarity
         from cand

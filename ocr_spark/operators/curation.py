@@ -365,12 +365,13 @@ def top_ngrams_hashed(
 
     Same output contract as top_ngrams — (gram, n_occurrences), count-desc
     then gram-asc — with two documented deviations: (1) a 64-bit collision
-    merges two grams' counts in pass 1 (P ≈ d²/2⁶⁵; both texts then reach
-    pass 2 and are recounted exactly, so a collision can only ADD a
-    spurious candidate, never corrupt a count); (2) when the k-th place is
-    tied, pass 1 breaks the tie by hash, not gram, so WHICH tied gram wins
-    can differ from the exact variant (pytest pins equality where counts
-    are untied).
+    merges two grams' counts in pass 1 (P ≈ d²/2⁶⁵); the colliding texts
+    all reach pass 2 and are recounted EXACTLY, so output counts are never
+    corrupted, but the inflated merged hash can displace the true k-th
+    hash from the winner set — membership can lose a true winner to the
+    collision pair; (2) when the k-th place is tied, pass 1 breaks the
+    tie by hash, not gram, so WHICH tied gram wins can differ from the
+    exact variant (pytest pins equality where counts are untied).
     """
     words = words_column(text_col)
     grams = docs.select(words.alias("__w")).select(

@@ -68,14 +68,13 @@ def with_int8_vectors(
 
 
 def int8_dot(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ over two int8 arrays, accumulated in BIGINT."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Σ aᵢ·bᵢ over two int8 arrays — delegates to :func:`vectors.dot`
+    (double accumulation; |term| ≤ 127² so the sum is exact until it
+    passes 2^53, i.e. dim ≈ 5·10¹¹ — no reachable overflow, and the
+    double result matches the DuckDB oracle's list_dot_product)."""
+    from ocr_spark.functions.vectors import dot
+
+    return dot(a, b)
 
 
 def quantize_vector_py(vec: list[float]) -> tuple[list[int], float]:
@@ -85,7 +84,17 @@ def quantize_vector_py(vec: list[float]) -> tuple[list[int], float]:
     scale = amax / 127.0
     if scale <= 0:
         return [0] * len(vec), 0.0
-    return [int(math.copysign(math.floor(abs(x) / scale + 0.5), x)) for x in vec], scale
+
+    def _half_up(x: float) -> int:
+        # remainder compare, NOT floor(r + 0.5): adding 0.5 in double can
+        # carry across the half boundary where BigDecimal HALF_UP (Spark
+        # F.round) and DuckDB round() stay below it
+        r = abs(x) / scale
+        f = math.floor(r)
+        q = f + (1 if r - f >= 0.5 else 0)
+        return int(math.copysign(q, x))
+
+    return [_half_up(float(x)) for x in vec], scale
 
 
 def topk_similar_quantized(
@@ -105,12 +114,25 @@ def topk_similar_quantized(
     A candidate the quantizer mis-ranks past ``k * rescore_factor`` is
     missed — that is the standard recall/scan-cost trade; raise
     ``rescore_factor`` to trade scan for recall (pytest pins exact top-k
-    equality on the test corpus at the default factor)."""
+    equality on the test corpus at the default factor).
+
+    If ``emb`` already carries ``qvec``/``qscale`` (a table persisted via
+    :func:`with_int8_vectors` — the production shape: stage 1 then scans
+    the 4x-smaller stored column instead of re-quantizing the float
+    column per query), they are used as-is. Zero-norm corpus vectors are
+    excluded (cosine is undefined — and NaN would WIN a descending sort,
+    the argmax pitfall pinned in CLAUDE.md); a zero-norm query raises."""
+    if not any(float(x) != 0.0 for x in query_vec):
+        raise ValueError("query_vec has zero norm — cosine is undefined")
     qq, qs = quantize_vector_py(query_vec)
-    quantized = with_int8_vectors(emb, vec_col=vec_col)
+    if "qvec" in emb.columns and "qscale" in emb.columns:
+        quantized = emb
+    else:
+        quantized = with_int8_vectors(emb, vec_col=vec_col)
     approx = int8_dot("qvec", F.array([F.lit(v).cast("tinyint") for v in qq]))
     candidates = (
-        quantized.withColumn("__approx", approx.cast("double") * F.col("qscale") * F.lit(qs))
+        quantized.filter(F.col("qscale") > 0)  # zero vector: cosine undefined
+        .withColumn("__approx", approx.cast("double") * F.col("qscale") * F.lit(qs))
         .orderBy(F.col("__approx").desc(), F.col(id_col))
         .limit(k * rescore_factor)
     )

@@ -188,6 +188,19 @@ def test_top_ngrams_hashed_matches_exact_on_untied_counts(spark):
     # empty corpus: zero rows, stable schema
     empty = top_ngrams_hashed(_docs(spark, [(1, "")]), n=3, k=5)
     assert empty.count() == 0 and empty.columns == ["gram", "n_occurrences"]
+    # larger corpus with a strictly-untied count ladder: gram family g
+    # appears exactly g+1 times (210 docs, counts 1..20 all distinct), so
+    # hashed and exact must agree on membership, counts AND order
+    rows, did = [], 0
+    for g in range(20):
+        for _ in range(g + 1):
+            rows.append((did, f"w{g} x{g} y{g}"))
+            did += 1
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    e = [(r["gram"], r["n_occurrences"]) for r in top_ngrams(big, n=3, k=8).collect()]
+    h = [(r["gram"], r["n_occurrences"]) for r in top_ngrams_hashed(big, n=3, k=8).collect()]
+    assert e == h
+    assert e[0] == ("w19 x19 y19", 20) and len(e) == 8
 
 
 def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
@@ -256,6 +269,27 @@ def test_oracle_whitespace_class_matches_java(spark):
         r" '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') as w"
     ).fetchone()[0]
     assert spark_words == duck_words == ["a", "b", "c", "d"]
+
+
+def test_translated_regex_chains_match_java_on_vertical_tab(spark):
+    """The Java→RE2 pattern translation (_re2_pattern) must align \\s with
+    Java's class (which includes U+000B): the layout chain on a
+    vertical-tab-indented numbered line gives identical output in both
+    engines."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from ocr_spark.functions.textnorm import format_layout
+
+    text = "\x0b3．text line"  # VT-indented '3．' — Java \s consumes the VT
+    spark_out = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(format_layout(F.col("t")).alias("o"))
+        .collect()[0]["o"]
+    )
+    sql = "select " + entry_mod._layout_chain_sql("$t$" + text + "$t$") + " as o"
+    duck_out = duckdb.sql(sql).fetchone()[0]
+    assert spark_out == duck_out
 
 
 def test_mixing_plan_shape(spark):

@@ -10,7 +10,9 @@ from ocr_spark.operators.quantize import (
     with_int8_vectors,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _vecs(spark):
@@ -51,6 +53,25 @@ def test_python_twin_matches_spark_quantizer(spark):
         q, s = quantize_vector_py(v)
         assert spark_q[i][0] == q, (i, spark_q[i][0], q)
         assert abs(spark_q[i][1] - s) < 1e-15
+
+
+def test_quantized_topk_excludes_zero_vectors_and_reuses_stored_columns(spark):
+    """A zero-norm corpus vector must never appear in the top-k (its cosine
+    is NaN, and NaN WINS a descending sort — the argmax pitfall); a frame
+    already carrying qvec/qscale is consumed as-is (production shape)."""
+    import pytest
+
+    rows = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 0.0]), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    got = topk_similar_quantized(df, [1.0, 0.0], k=4)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert 3 not in ids and ids[0] == 1
+    # pre-quantized input: same result, quantization not recomputed
+    stored = with_int8_vectors(df)
+    got2 = [r["doc_id"] for r in topk_similar_quantized(stored, [1.0, 0.0], k=4).collect()]
+    assert got2 == ids
+    with pytest.raises(ValueError):
+        topk_similar_quantized(df, [0.0, 0.0], k=2)
 
 
 def test_quantized_topk_matches_exact_on_test_corpus(spark):
