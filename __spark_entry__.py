@@ -605,6 +605,23 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, n=3, k=20)
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 intra-document repeated-line removal. The flat corpus has no
+    newlines, so the gate synthesizes 2-word lines from the word stream
+    (identically in both engines — ~35% of docs then carry a duplicate
+    line) and checks the deduplicated text value-exactly."""
+    from ocr_spark.operators.curation import dedup_lines, words_column
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    w = words_column(F.col("text"))
+    idx = F.when(
+        F.size(w) >= 1, F.sequence(F.lit(0), F.floor((F.size(w) - 1) / 2).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    lines = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i * 2 + 1, 2)))
+    lined = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return dedup_lines(lined).orderBy("doc_id")
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized candidate scan + exact rescore (operators/quantize):
     the 4x-smaller-storage ANN path. The oracle recomputes the identical
@@ -1433,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "top_ngrams": q_top_ngrams,
         "quantized_topk": q_quantized_topk,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -1635,6 +1653,39 @@ def oracle_sql() -> dict[str, str]:
         order by list_cosine_similarity(embedding::DOUBLE[],
                  (select embedding from embeddings where vec_id = 0)::DOUBLE[]) desc, vec_id
         limit 10
+    """
+    sql["dedup_lines"] = r"""
+        with words as (
+          select doc_id,
+                 unnest(string_split_regex(
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
+                 generate_subscripts(string_split_regex(
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
+          from documents
+          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+        ),
+        lines as (
+          select doc_id, cast((pos - 1) // 2 as int) as ci,
+                 string_agg(w, ' ' order by pos) as line
+          from words group by doc_id, cast((pos - 1) // 2 as int)
+        ),
+        firsts as (
+          select doc_id, line, min(ci) as keep_ci, count(*) as n_copies
+          from lines group by doc_id, line
+        ),
+        agg as (
+          select doc_id,
+                 cast(sum(n_copies) as int) as n_lines,
+                 cast(count(*) as int) as n_kept,
+                 string_agg(line, chr(10) order by keep_ci) as text
+          from firsts group by doc_id
+        )
+        select d.doc_id,
+               coalesce(a.text, '') as text,
+               coalesce(a.n_lines, 1) as n_lines,
+               coalesce(a.n_kept, 1) as n_kept
+        from documents d left join agg a using (doc_id)
+        order by d.doc_id
     """
     sql["quantized_topk"] = """
         with qrow as (select embedding::DOUBLE[] as v,

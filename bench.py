@@ -115,6 +115,7 @@ HEADLINE = [
     "split_corpus",
     "top_ngrams",
     "quantized_topk",
+    "dedup_lines",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "token_entropy",
     "top_ngrams",
     "top_ngrams_hashed",
+    "dedup_lines",
     "chunk_dedup",
     "pii_counts",
     "redact_pii",
@@ -339,6 +340,50 @@ def top_ngrams(
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style INTRA-document repeated-line removal (Raffel et al. 2020
+    §2.2 — alongside the cross-document :func:`chunk_dedup`): within each
+    document, a line identical to an earlier line of the same document is
+    dropped; survivors keep their original order. Returns
+    ``(id_col, text, n_lines, n_kept)`` (lines split on '\\n'; empty text
+    has one empty line, preserved).
+
+    Scale shape: same as `repetition_stats` — ONE doc-keyed pinned
+    repartition of the raw documents, then posexplode_outer + two
+    aggregations whose keys all contain the id, so every stage after the
+    exchange is partition-local and the exploded line stream never
+    crosses the network. First-occurrence selection is ``min(pos)`` per
+    (doc, line) — a hash aggregate with map-side combine, never a window
+    partitioned by the line text (the chunk-keeper skew lesson)."""
+    base = docs.repartition(_pinned_partitions(docs), F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("lines"),
+    )
+    exploded = base.select("_id", F.posexplode_outer("lines").alias("pos", "line"))
+    firsts = exploded.groupBy("_id", "line").agg(
+        F.min("pos").alias("keep_pos"), F.count("*").alias("n_copies")
+    )
+    return (
+        firsts.groupBy("_id")
+        .agg(
+            F.sum("n_copies").cast("int").alias("n_lines"),
+            F.count("*").cast("int").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("keep_pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+        )
+        .select(F.col("_id").alias(id_col), "text", "n_lines", "n_kept")
     )
 
 

@@ -260,6 +260,30 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 # whitespace edges (review regression: F.trim strips spaces ONLY)
 # ---------------------------------------------------------------------------
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    """C4 intra-doc repeated-line removal: duplicates drop, survivors keep
+    original order, cross-doc lines are untouched, empty text is one
+    (kept) empty line — and the exploded line stream never reshuffles
+    after the doc-pinned repartition."""
+    from ocr_spark.operators.curation import dedup_lines
+
+    docs = _docs(spark, [
+        (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+        (2, "alpha\nalpha\nalpha"),   # same line as doc 1 — cross-doc untouched
+        (3, ""),
+        (4, "only line"),
+    ])
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "alpha" and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_lines"] == 1 and out[3]["n_kept"] == 1
+    assert out[4]["text"] == "only line"
+    p = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 1, p[:2000]
+    assert "Window" not in p, p[:2000]
+
+
 def test_no_phantom_words_from_nonspace_whitespace(spark):
     """Leading/trailing newlines/tabs must not create empty-string words:
     '\\nhello world' is 2 words (was 3 via trim+split), '\\n' is 0 words —
