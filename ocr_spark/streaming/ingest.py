@@ -37,6 +37,7 @@ def stream_extract(
     max_files_per_trigger: int = 16,
     available_now: bool = True,
     transform=extract_docs,
+    schema=DOC_SCHEMA,
 ):
     """Start (and for ``available_now`` drain) a streaming extraction job.
 
@@ -44,12 +45,18 @@ def stream_extract(
     until every currently-visible file is processed, then stops — the
     incremental-batch pattern (run it on a schedule; each run processes only
     new files, like the reference's resumable stage re-runs).
+
+    ``transform``/``schema`` generalize the stage: any batch operator whose
+    output carries ``doc_id`` streams through the same
+    checkpoint + MERGE machinery — e.g. incremental corpus CURATION
+    (``schema="doc_id long, text string"``, transform = gopher_quality
+    filter → redact_pii), tested in tests/test_streaming.py.
     """
     if checkpoint_dir is None:
         checkpoint_dir = catalog.path(table + "__checkpoint")
 
     stream = (
-        spark.readStream.schema(DOC_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )

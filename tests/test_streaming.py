@@ -49,3 +49,42 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     stream_extract(spark, input_dir, catalog, max_files_per_trigger=1)
     got3 = catalog.read("extracted_stream").collect()
     assert _spans_key(got3) == _spans_key(got2)
+
+
+def test_stream_curation_incremental(spark, tmp_path):
+    """The streaming stage generalizes to curation: text docs landing in a
+    directory flow through gopher_quality -> PII redaction -> MERGE, with
+    the same incremental pickup and idempotent re-run guarantees."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.curation import gopher_quality, redact_pii
+
+    def curate(df):
+        kept = (
+            gopher_quality(df, min_words=5, min_stopwords=0, carry_text=True)
+            .filter(F.col("keep"))
+            .select("doc_id", "text")
+        )
+        return kept.withColumn("text", redact_pii("text"))
+
+    good = "the quick brown fox jumps over the lazy dog with mail to a@b.com"
+    rows1 = [(1, good), (2, "too short")]
+    rows2 = [(3, good + " and more words follow here")]
+    input_dir = str(tmp_path / "incoming")
+    catalog = Catalog(spark, str(tmp_path / "catalog"))
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    stream_extract(spark, input_dir, catalog, table="curated_stream",
+                   transform=curate, schema=schema, max_files_per_trigger=1)
+    got1 = {r["doc_id"]: r["text"] for r in catalog.read("curated_stream").collect()}
+    assert set(got1) == {1}                       # quality reject dropped
+    assert "a@b.com" not in got1[1] and "<EMAIL>" in got1[1]
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(input_dir)
+    stream_extract(spark, input_dir, catalog, table="curated_stream",
+                   transform=curate, schema=schema, max_files_per_trigger=1)
+    stream_extract(spark, input_dir, catalog, table="curated_stream",
+                   transform=curate, schema=schema, max_files_per_trigger=1)  # no-op rerun
+    got2 = {r["doc_id"] for r in catalog.read("curated_stream").collect()}
+    assert got2 == {1, 3}
