@@ -612,13 +612,18 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     line) and checks the deduplicated text value-exactly."""
     from ocr_spark.operators.curation import dedup_lines, words_column
 
-    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
-    w = words_column(F.col("text"))
+    # materialize the words array BEFORE the lambda: referencing the
+    # words_column expression inside F.transform re-inlines the full
+    # regexp split per synthesized line (the lambda-CSE pitfall)
+    wdocs = _docs_table(spark, sf_dir).select(
+        "doc_id", words_column(F.col("text")).alias("__w")
+    )
+    w = F.col("__w")
     idx = F.when(
         F.size(w) >= 1, F.sequence(F.lit(0), F.floor((F.size(w) - 1) / 2).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     lines = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i * 2 + 1, 2)))
-    lined = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    lined = wdocs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
     return dedup_lines(lined).orderBy("doc_id")
 
 

@@ -37,7 +37,7 @@ def stream_extract(
     max_files_per_trigger: int = 16,
     available_now: bool = True,
     transform=extract_docs,
-    schema=DOC_SCHEMA,
+    schema=None,
 ):
     """Start (and for ``available_now`` drain) a streaming extraction job.
 
@@ -50,8 +50,18 @@ def stream_extract(
     output carries ``doc_id`` streams through the same
     checkpoint + MERGE machinery — e.g. incremental corpus CURATION
     (``schema="doc_id long, text string"``, transform = gopher_quality
-    filter → redact_pii), tested in tests/test_streaming.py.
+    filter → redact_pii), tested in tests/test_streaming.py. A custom
+    ``transform`` REQUIRES an explicit ``schema``: silently defaulting to
+    DOC_SCHEMA would misread the input parquet, and the checkpoint would
+    then mark those files consumed — a corrected re-run skips them.
     """
+    if schema is None:
+        if transform is not extract_docs:
+            raise ValueError(
+                "a custom transform requires an explicit schema= matching "
+                "its input (the DOC_SCHEMA default only fits extract_docs)"
+            )
+        schema = DOC_SCHEMA
     if checkpoint_dir is None:
         checkpoint_dir = catalog.path(table + "__checkpoint")
 

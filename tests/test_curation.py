@@ -257,9 +257,6 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     assert set(stats) == {0, 1} and stats[0]["entropy"] > 0
 
 
-# ---------------------------------------------------------------------------
-# whitespace edges (review regression: F.trim strips spaces ONLY)
-# ---------------------------------------------------------------------------
 def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     """C4 intra-doc repeated-line removal: duplicates drop, survivors keep
     original order, cross-doc lines are untouched, empty text is one
@@ -284,6 +281,9 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     assert "Window" not in p, p[:2000]
 
 
+# ---------------------------------------------------------------------------
+# whitespace edges (review regression: F.trim strips spaces ONLY)
+# ---------------------------------------------------------------------------
 def test_no_phantom_words_from_nonspace_whitespace(spark):
     """Leading/trailing newlines/tabs must not create empty-string words:
     '\\nhello world' is 2 words (was 3 via trim+split), '\\n' is 0 words —
