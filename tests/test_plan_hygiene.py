@@ -257,3 +257,13 @@ def test_curation_ops_plan_shape(spark):
     # gopher_quality is row-local: zero exchanges, one codegen projection
     p = gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p[:2000]
+
+
+def test_dedup_lines_gate_has_no_reinlined_split(spark):
+    """q_dedup_lines synthesizes 2-word lines inside an F.transform lambda;
+    the words array must be a materialized COLUMN there — referencing the
+    words_column expression directly re-inlines the full regexp split per
+    line (O(W^2)/doc, the lambda-CSE pitfall; caught by the r3 review)."""
+    plan = _plan(spark, "dedup_lines")
+    bad = [l for l in plan.splitlines() if "lambdafunction" in l and "split(" in l]
+    assert not bad, bad[:2]
