@@ -29,7 +29,12 @@ sys.path.insert(0, {repo!r})
 from ocr_spark.session import get_spark
 from ocr_spark.operators.boilerplate import strip_boilerplate
 from ocr_spark.operators.extract import extract_docs, render_markdown
-from ocr_spark.operators.curation import chunk_dedup, repetition_stats, top_ngrams
+from ocr_spark.operators.curation import (
+    chunk_dedup,
+    dedup_lines,
+    repetition_stats,
+    top_ngrams,
+)
 from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
@@ -122,6 +127,10 @@ JOBS = {{
     "topngrams": lambda: top_ngrams(
         spark.read.parquet(corpus + "_text"), n=3, k=100
     ),
+    # intra-doc line dedup over the rendered text (its '\n'-seeded lines):
+    # the repetition_stats shuffle shape — doc-pinned repartition, then
+    # partition-local keeper + rebuild aggregations
+    "deduplines": lambda: dedup_lines(spark.read.parquet(corpus + "_text")),
 }}
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
@@ -131,6 +140,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "repetition": 1024 * 1024,
                "decon": 1024 * 1024,
                "topngrams": 1024 * 1024,
+               "deduplines": 1024 * 1024,
                # the token corpus is 13 MB compressed exploding to an
                # 846 MB shuffle: 64 KiB splits = 2,324 near-empty scan
                # tasks whose scheduling overhead only bites at 4N
@@ -154,6 +164,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # as chunkdedup
                   "decon": 4 * 1024 * 1024,
                   "topngrams": 4 * 1024 * 1024,
+                  "deduplines": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -273,7 +284,8 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
-    if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams"} and not os.path.exists(
+    if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
+              "deduplines"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -298,7 +310,7 @@ def main() -> None:
     jobs_run = [
         j
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
-                  "chunkdedup", "repetition", "decon", "topngrams")
+                  "chunkdedup", "repetition", "decon", "topngrams", "deduplines")
         if j in low and j in high
     ]
     job_eff = {
