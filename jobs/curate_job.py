@@ -8,7 +8,7 @@ Ship and run:
         jobs/curate_job.py \\
         --input  /path/to/documents_table \\
         --catalog /path/to/catalog \\
-        [--min-words 50] [--chunk-words 10] [--redact-pii]
+        [--min-words 50] [--chunk-words 10] [--redact-pii] [--dedup-lines]
 
 The training-data curation flow over a (doc_id, text) table, cheapest
 filter first so each stage sees less data:
@@ -22,9 +22,12 @@ filter first so each stage sees less data:
        typed-placeholder redactor BEFORE dedup, so dedup, stats and the
        written output all see the exact text that ships (and PII variants
        of otherwise-identical chunks dedup together);
-    3. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
+    3. optional ``--dedup-lines`` removes INTRA-document repeated lines
+       (C4's other dedup rule) before the cross-document pass, so a doc's
+       own boilerplate never inflates the global chunk table;
+    4. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
        the survivors (first occurrence wins);
-    4. ``repetition_stats`` + ``token_entropy`` on the written curated
+    5. ``repetition_stats`` + ``token_entropy`` on the written curated
        text — stored as ``curation_stats`` for downstream threshold sweeps
        (signals, not filters: a re-run with new thresholds re-reads the
        small curated table, not the raw corpus).
@@ -49,6 +52,7 @@ def main() -> None:
     ap.add_argument("--min-stopwords", type=int, default=2)
     ap.add_argument("--chunk-words", type=int, default=10)
     ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--dedup-lines", action="store_true")
     args = ap.parse_args()
 
     # imports resolve from the --py-files zip on executors
@@ -57,6 +61,7 @@ def main() -> None:
 
     from ocr_spark.operators.curation import (
         chunk_dedup,
+        dedup_lines,
         gopher_quality,
         redact_pii,
         repetition_stats,
@@ -82,6 +87,8 @@ def main() -> None:
     kept = flagged.filter(F.col("keep")).select("doc_id", "text")
     if args.redact_pii:
         kept = kept.withColumn("text", redact_pii("text"))
+    if args.dedup_lines:
+        kept = dedup_lines(kept).select("doc_id", "text")
 
     catalog.write(chunk_dedup(kept, chunk_words=args.chunk_words), "curated")
 

@@ -234,7 +234,12 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
         "the quick brown fox jumps with many of the fine dogs and cats "
         "that have fur and the story goes on and on about the fine dogs"
     )
-    rows = [(0, good), (1, good + " extra tail words here"), (2, "too short")]
+    rows = [
+        (0, good),
+        (1, good + " extra tail words here"),
+        (2, "too short"),
+        (3, good + "\n" + good),  # intra-doc duplicate line for --dedup-lines
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     inp = str(tmp_path / "docs")
     docs.write.parquet(inp)
@@ -243,7 +248,8 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
         sys,
         "argv",
         ["curate_job.py", "--input", inp, "--catalog", cat,
-         "--min-words", "10", "--chunk-words", "5", "--redact-pii"],
+         "--min-words", "10", "--chunk-words", "5", "--redact-pii",
+         "--dedup-lines"],
     )
     curate_job.main()
 
@@ -251,10 +257,13 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     rejects = [r["doc_id"] for r in spark.read.parquet(f"{cat}/curation_rejects").collect()]
     stats = {r["doc_id"]: r for r in spark.read.parquet(f"{cat}/curation_stats").collect()}
     assert rejects == [2]  # quality-filtered out
-    assert set(curated) == {0, 1}
+    assert set(curated) == {0, 1, 3}
     assert curated[0]["text"] == good  # first occurrence keeps everything
     assert curated[1]["n_kept"] < curated[1]["n_chunks"]  # shared chunks deduped
-    assert set(stats) == {0, 1} and stats[0]["entropy"] > 0
+    # --dedup-lines collapsed doc 3's duplicated line BEFORE chunk dedup,
+    # so its remaining chunks are exact duplicates of doc 0's and drop there
+    assert curated[3]["n_kept"] == 0 and curated[3]["text"] == ""
+    assert set(stats) == {0, 1, 3} and stats[0]["entropy"] > 0
 
 
 def test_dedup_lines_keeps_first_occurrence_in_order(spark):
