@@ -627,6 +627,19 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined).orderBy("doc_id")
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: unigram LM (add-0.5 smoothing) built
+    from the corpus itself, per-doc cross-entropy in nats."""
+    from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    lm = unigram_lm(docs, add_k=0.5)
+    out = lm_cross_entropy(docs, lm)
+    return out.select(
+        "doc_id", "n_words", F.round("cross_entropy", 4).alias("cross_entropy")
+    ).orderBy("doc_id")
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized candidate scan + exact rescore (operators/quantize):
     the 4x-smaller-storage ANN path. The oracle recomputes the identical
@@ -1456,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "quantized_topk": q_quantized_topk,
         "dedup_lines": q_dedup_lines,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -1658,6 +1672,33 @@ def oracle_sql() -> dict[str, str]:
         order by list_cosine_similarity(embedding::DOUBLE[],
                  (select embedding from embeddings where vec_id = 0)::DOUBLE[]) desc, vec_id
         limit 10
+    """
+    sql["lm_quality"] = r"""
+        with words as (
+          select doc_id,
+                 unnest(string_split_regex(
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w
+          from documents
+          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+        ),
+        counts as (select w, count(*) as c from words group by w),
+        consts as (select cast(sum(c) as double) as total,
+                          cast(count(*) as double) as vocab from counts),
+        lm as (select w, ln((c + 0.5) / (total + 0.5 * (vocab + 1))) as logp
+               from counts cross join consts),
+        per_word as (select doc_id, w, count(*) as c from words group by doc_id, w),
+        scored as (
+          select p.doc_id,
+                 cast(sum(p.c) as int) as n_words,
+                 sum(l.logp * p.c) as ll
+          from per_word p join lm l using (w)
+          group by p.doc_id
+        )
+        select d.doc_id,
+               coalesce(s.n_words, 0) as n_words,
+               round(coalesce(-s.ll / s.n_words, 0.0), 4) as cross_entropy
+        from documents d left join scored s using (doc_id)
+        order by d.doc_id
     """
     sql["dedup_lines"] = r"""
         with words as (

@@ -116,6 +116,7 @@ HEADLINE = [
     "top_ngrams",
     "quantized_topk",
     "dedup_lines",
+    "lm_quality",
 ]
 
 

@@ -47,6 +47,8 @@ __all__ = [
     "top_ngrams",
     "top_ngrams_hashed",
     "dedup_lines",
+    "unigram_lm",
+    "lm_cross_entropy",
     "chunk_dedup",
     "pii_counts",
     "redact_pii",
@@ -340,6 +342,89 @@ def top_ngrams(
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
+    )
+
+
+def unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus unigram language model: ``(word, logp)`` with add-k
+    smoothing — ``p(w) = (c(w) + k) / (total + k·(V + 1))``, the +1
+    reserving mass for unseen words (scored as count 0 by
+    :func:`lm_cross_entropy`). One map-side-combined count shuffle."""
+    words = docs.select(F.explode_outer(words_column(text_col)).alias("w")).filter(
+        F.col("w").isNotNull()
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    # two scalars — metadata-sized by design
+    tot_row = counts.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    ).collect()[0]
+    total, vocab = int(tot_row["total"] or 0), int(tot_row["vocab"] or 0)
+    denom = float(total) + add_k * (vocab + 1)
+    return counts.select(
+        F.col("w").alias("word"),
+        F.log((F.col("c") + F.lit(float(add_k))) / F.lit(denom)).alias("logp"),
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unseen_logp: float | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality score (Wenzek et al. 2020, §4.3 — perplexity
+    filtering, with the Kneser-Ney LM replaced by the deterministic
+    unigram model of :func:`unigram_lm`): per-document cross-entropy
+    ``H = -(1/N) Σ log p(wᵢ)`` in nats. High H = improbable/degenerate
+    text. Returns ``(id_col, n_words, cross_entropy)``; empty docs get
+    0.0. Words absent from ``lm`` score ``unseen_logp`` (default: -30, a
+    hard floor standing in for the smoothed unseen mass).
+
+    Scale shape: tokens collapse to DISTINCT ``(doc, word, count)`` rows
+    BEFORE the LM join — the doc-pinned repartition makes that first
+    aggregation partition-local (zero exploded-token shuffle), and the
+    join then moves one row per distinct word per doc, not every token.
+    The LM side is deliberately UNHINTED: a web-corpus vocabulary can be
+    billions of rows, so broadcast-vs-shuffle is AQE's call by stats.
+    """
+    if unseen_logp is None:
+        unseen_logp = -30.0
+    base = docs.repartition(_pinned_partitions(docs), F.col(id_col)).select(
+        F.col(id_col).alias("_id"), words_column(text_col).alias("words")
+    )
+    per_word = (
+        base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
+        .groupBy("_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = per_word.join(
+        lm.select(F.col("word").alias("w"), "logp"), "w", "left"
+    ).select(
+        "_id",
+        "c",
+        F.when(F.col("w").isNull(), F.lit(0.0))
+        .otherwise(F.coalesce("logp", F.lit(float(unseen_logp))))
+        .alias("logp"),
+        F.when(F.col("w").isNull(), F.lit(0)).otherwise(F.col("c")).alias("n"),
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.sum("n").cast("int").alias("n_words"),
+            F.coalesce(F.sum(F.col("logp") * F.col("n")), F.lit(0.0)).alias("_ll"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.when(F.col("n_words") > 0, -F.col("_ll") / F.col("n_words"))
+            .otherwise(F.lit(0.0))
+            .alias("cross_entropy"),
+        )
     )
 
 

@@ -266,6 +266,35 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     assert set(stats) == {0, 1, 3} and stats[0]["entropy"] > 0
 
 
+def test_lm_cross_entropy_matches_hand_math(spark):
+    """Unigram LM + per-doc cross-entropy against hand-computed values,
+    incl. the unseen-word floor and the empty doc."""
+    import math
+
+    from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
+
+    corpus = _docs(spark, [(1, "a a b"), (2, "b c")])
+    lm = unigram_lm(corpus, add_k=0.5)
+    got_lm = {r["word"]: r["logp"] for r in lm.collect()}
+    denom = 5 + 0.5 * (3 + 1)  # total=5, vocab=3
+    assert abs(got_lm["a"] - math.log(2.5 / denom)) < 1e-12
+    assert abs(got_lm["c"] - math.log(1.5 / denom)) < 1e-12
+
+    scored = _docs(spark, [(10, "a b"), (11, "a zz"), (12, "")])
+    out = {r["doc_id"]: r for r in lm_cross_entropy(scored, lm).collect()}
+    want_10 = -(math.log(2.5 / denom) + math.log(2.5 / denom)) / 2
+    assert abs(out[10]["cross_entropy"] - want_10) < 1e-12
+    assert out[10]["n_words"] == 2
+    # 'zz' is unseen: floored at -30 by default
+    want_11 = -(math.log(2.5 / denom) + (-30.0)) / 2
+    assert abs(out[11]["cross_entropy"] - want_11) < 1e-12
+    assert out[12]["n_words"] == 0 and out[12]["cross_entropy"] == 0.0
+    # plan: the per-(doc, word) aggregation is partition-local after the
+    # one doc-pinned repartition; the LM join is deliberately unhinted
+    p = lm_cross_entropy(scored, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p[:2000]
+
+
 def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     """C4 intra-doc repeated-line removal: duplicates drop, survivors keep
     original order, cross-doc lines are untouched, empty text is one
