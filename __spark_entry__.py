@@ -633,8 +633,8 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
 
     docs = _docs_table(spark, sf_dir).select("doc_id", "text")
-    lm = unigram_lm(docs, add_k=0.5)
-    out = lm_cross_entropy(docs, lm)
+    lm, unseen = unigram_lm(docs, add_k=0.5)
+    out = lm_cross_entropy(docs, lm, unseen_logp=unseen)
     return out.select(
         "doc_id", "n_words", F.round("cross_entropy", 4).alias("cross_entropy")
     ).orderBy("doc_id")

@@ -88,7 +88,10 @@ def main() -> None:
     if args.redact_pii:
         kept = kept.withColumn("text", redact_pii("text"))
     if args.dedup_lines:
-        kept = dedup_lines(kept).select("doc_id", "text")
+        # chunk_dedup references its input in two join branches (no CSE
+        # across branches) — materialize once or the whole line-dedup
+        # pipeline (repartition + explode + two aggregations) runs twice
+        kept = dedup_lines(kept).select("doc_id", "text").localCheckpoint()
 
     catalog.write(chunk_dedup(kept, chunk_words=args.chunk_words), "curated")
 

@@ -36,6 +36,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -266,6 +268,24 @@ def gopher_quality(
     return out.withColumn("keep", keep)
 
 
+def _doc_pinned_word_counts(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``(_id, w, c)`` word counts per document — the shared first stage of
+    token_entropy and lm_cross_entropy: ONE doc-keyed pinned repartition
+    (see repetition_stats on why AQE must not size this exchange by
+    pre-explosion bytes), then a PARTITION-LOCAL posexplode + count whose
+    grouping keys contain _id. Empty docs yield one ``w IS NULL`` row."""
+    base = docs.repartition(_pinned_partitions(docs), F.col(id_col)).select(
+        F.col(id_col).alias("_id"), words_column(text_col).alias("words")
+    )
+    return (
+        base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
+        .groupBy("_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def token_entropy(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -282,14 +302,8 @@ def token_entropy(
     counts and the entropy fold then run partition-local (their grouping
     keys contain _id).
     """
-    base = (
-        docs.repartition(_pinned_partitions(docs), F.col(id_col))
-        .select(F.col(id_col).alias("_id"), words_column(text_col).alias("words"))
-    )
     return (
-        base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
-        .groupBy("_id", "w")
-        .agg(F.count("*").alias("c"))
+        _doc_pinned_word_counts(docs, text_col, id_col)
         .groupBy("_id")
         .agg(
             F.coalesce(F.sum(F.when(F.col("w").isNotNull(), F.col("c"))), F.lit(0)).alias("n_words"),
@@ -349,25 +363,33 @@ def unigram_lm(
     docs: DataFrame,
     text_col: str = "text",
     add_k: float = 0.5,
-) -> DataFrame:
-    """Corpus unigram language model: ``(word, logp)`` with add-k
-    smoothing — ``p(w) = (c(w) + k) / (total + k·(V + 1))``, the +1
-    reserving mass for unseen words (scored as count 0 by
-    :func:`lm_cross_entropy`). One map-side-combined count shuffle."""
+) -> tuple[DataFrame, float]:
+    """Corpus unigram language model with add-k smoothing —
+    ``p(w) = (c(w) + k) / (total + k·(V + 1))``, the +1 reserving mass for
+    unseen words. Returns ``(lm, unseen_logp)``: the ``(word, logp)``
+    table AND ``log(k / denom)``, the smoothed log-probability an
+    out-of-vocabulary word should score — pass it to
+    :func:`lm_cross_entropy` when scoring held-out documents.
+
+    The count table is localCheckpoint'd: the scalar (total, vocab) pass
+    materializes it once, and the returned plan reuses that result — so
+    the corpus-wide tokenize+count shuffle runs exactly once, not once
+    per downstream action."""
     words = docs.select(F.explode_outer(words_column(text_col)).alias("w")).filter(
         F.col("w").isNotNull()
     )
-    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    counts = words.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
     # two scalars — metadata-sized by design
     tot_row = counts.agg(
         F.sum("c").alias("total"), F.count("*").alias("vocab")
     ).collect()[0]
     total, vocab = int(tot_row["total"] or 0), int(tot_row["vocab"] or 0)
     denom = float(total) + add_k * (vocab + 1)
-    return counts.select(
+    lm = counts.select(
         F.col("w").alias("word"),
         F.log((F.col("c") + F.lit(float(add_k))) / F.lit(denom)).alias("logp"),
     )
+    return lm, math.log(add_k / denom) if denom > 0 else -30.0
 
 
 def lm_cross_entropy(
@@ -382,8 +404,10 @@ def lm_cross_entropy(
     unigram model of :func:`unigram_lm`): per-document cross-entropy
     ``H = -(1/N) Σ log p(wᵢ)`` in nats. High H = improbable/degenerate
     text. Returns ``(id_col, n_words, cross_entropy)``; empty docs get
-    0.0. Words absent from ``lm`` score ``unseen_logp`` (default: -30, a
-    hard floor standing in for the smoothed unseen mass).
+    0.0. Words absent from ``lm`` score ``unseen_logp`` — pass the
+    smoothed value :func:`unigram_lm` returns for CCNet-faithful scoring
+    of held-out documents; the -30 default is only a hard floor for LMs
+    built without a smoothing contract.
 
     Scale shape: tokens collapse to DISTINCT ``(doc, word, count)`` rows
     BEFORE the LM join — the doc-pinned repartition makes that first
@@ -394,19 +418,11 @@ def lm_cross_entropy(
     """
     if unseen_logp is None:
         unseen_logp = -30.0
-    base = docs.repartition(_pinned_partitions(docs), F.col(id_col)).select(
-        F.col(id_col).alias("_id"), words_column(text_col).alias("words")
-    )
-    per_word = (
-        base.select("_id", F.posexplode_outer("words").alias("_p", "w"))
-        .groupBy("_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
+    per_word = _doc_pinned_word_counts(docs, text_col, id_col)
     scored = per_word.join(
         lm.select(F.col("word").alias("w"), "logp"), "w", "left"
     ).select(
         "_id",
-        "c",
         F.when(F.col("w").isNull(), F.lit(0.0))
         .otherwise(F.coalesce("logp", F.lit(float(unseen_logp))))
         .alias("logp"),

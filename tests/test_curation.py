@@ -274,21 +274,28 @@ def test_lm_cross_entropy_matches_hand_math(spark):
     from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
 
     corpus = _docs(spark, [(1, "a a b"), (2, "b c")])
-    lm = unigram_lm(corpus, add_k=0.5)
+    lm, unseen = unigram_lm(corpus, add_k=0.5)
     got_lm = {r["word"]: r["logp"] for r in lm.collect()}
     denom = 5 + 0.5 * (3 + 1)  # total=5, vocab=3
     assert abs(got_lm["a"] - math.log(2.5 / denom)) < 1e-12
     assert abs(got_lm["c"] - math.log(1.5 / denom)) < 1e-12
+    # the smoothed unseen mass the LM reserves (the k*(V+1) '+1')
+    assert abs(unseen - math.log(0.5 / denom)) < 1e-12
 
     scored = _docs(spark, [(10, "a b"), (11, "a zz"), (12, "")])
-    out = {r["doc_id"]: r for r in lm_cross_entropy(scored, lm).collect()}
+    out = {r["doc_id"]: r for r in
+           lm_cross_entropy(scored, lm, unseen_logp=unseen).collect()}
     want_10 = -(math.log(2.5 / denom) + math.log(2.5 / denom)) / 2
     assert abs(out[10]["cross_entropy"] - want_10) < 1e-12
     assert out[10]["n_words"] == 2
-    # 'zz' is unseen: floored at -30 by default
-    want_11 = -(math.log(2.5 / denom) + (-30.0)) / 2
+    # 'zz' is unseen: scored at the LM's smoothed unseen mass
+    want_11 = -(math.log(2.5 / denom) + unseen) / 2
     assert abs(out[11]["cross_entropy"] - want_11) < 1e-12
     assert out[12]["n_words"] == 0 and out[12]["cross_entropy"] == 0.0
+    # without the smoothing contract, the default is the -30 hard floor
+    floored = {r["doc_id"]: r for r in lm_cross_entropy(scored, lm).collect()}
+    want_floor = -(math.log(2.5 / denom) + (-30.0)) / 2
+    assert abs(floored[11]["cross_entropy"] - want_floor) < 1e-12
     # plan: the per-(doc, word) aggregation is partition-local after the
     # one doc-pinned repartition; the LM join is deliberately unhinted
     p = lm_cross_entropy(scored, lm)._jdf.queryExecution().executedPlan().toString()
