@@ -627,6 +627,15 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined).orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (capacity 256, 8 shards): pack layout
+    must be reproducible from (capacity, n_shards) alone."""
+    from ocr_spark.operators.mixing import pack_sequences
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(docs, capacity=256, n_shards=8).orderBy("doc_id")
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: unigram LM (add-0.5 smoothing) built
     from the corpus itself, per-doc cross-entropy in nats."""
@@ -1470,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "dedup_lines": q_dedup_lines,
         "lm_quality": q_lm_quality,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1672,6 +1682,28 @@ def oracle_sql() -> dict[str, str]:
         order by list_cosine_similarity(embedding::DOUBLE[],
                  (select embedding from embeddings where vec_id = 0)::DOUBLE[]) desc, vec_id
         limit 10
+    """
+    sql["pack_sequences"] = r"""
+        with t as (
+          select doc_id, cast(doc_id % 8 as int) as shard,
+                 cast(case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
+                           then 0
+                           else len(string_split_regex(
+                             regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'))
+                      end as bigint) as n_tokens
+          from documents
+        ),
+        c as (
+          select doc_id, shard, n_tokens,
+                 sum(n_tokens) over (partition by shard order by doc_id
+                                     rows between unbounded preceding and current row) as cum
+          from t
+        )
+        select doc_id, shard,
+               cast((cum - n_tokens) // 256 as int) as pack_id,
+               n_tokens,
+               cast((cum - n_tokens) % 256 as int) as offset_in_pack
+        from c order by doc_id
     """
     sql["lm_quality"] = r"""
         with words as (

@@ -117,6 +117,7 @@ HEADLINE = [
     "quantized_topk",
     "dedup_lines",
     "lm_quality",
+    "pack_sequences",
 ]
 
 

@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.curation import _ngrams, words_column
 
-__all__ = ["decontaminate", "portable_uniform", "split_corpus", "weighted_sample"]
+__all__ = [
+    "decontaminate",
+    "pack_sequences",
+    "portable_uniform",
+    "split_corpus",
+    "weighted_sample",
+]
 
 _MAX_WEIGHT = 64.0  # hard upsampling cap: explode width is bounded by design
 
@@ -172,6 +178,66 @@ def split_corpus(
     # the last label takes the remainder (avoids FP-edge unassigned rows)
     expr = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     return docs.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 1024,
+    token_col: Column | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: the concat-and-chunk step between a
+    curated corpus and tokenization — documents are laid out in a
+    deterministic order and cut into training sequences of ``capacity``
+    tokens (the standard greedy packing; a document straddling a boundary
+    belongs to the pack where it STARTS). Returns
+    ``(id_col, shard, pack_id, n_tokens, offset_in_pack)``.
+
+    Layout: a document's shard is ``doc_id % n_shards`` (deterministic,
+    growth-stable for appended id ranges); within a shard documents pack
+    in ``id_col`` order by running token count, ``pack_id = floor(
+    tokens_before / capacity)`` — so packs are reproducible from
+    (capacity, n_shards) alone, independent of cluster size or partition
+    layout (the property a parallel first-fit packer lacks).
+
+    Scale: the running sum is a window PARTITIONED BY SHARD — one task
+    per shard, evaluated as a streaming running-total frame (no per-task
+    materialization beyond the sort). ``n_shards`` is therefore the
+    PARALLELISM KNOB, exactly as in production packers (shard-parallel,
+    sequential within shard): size it to tasks ≫ cores, and keep shards
+    small enough that a shard's rows sort within an executor (at 10¹²
+    docs use 10⁵–10⁶ shards, not the default). This is the one operator
+    family where a window is the honest tool — the skew-bomb rule
+    (CLAUDE.md) is about VALUE-keyed windows; shard keys are uniform by
+    construction.
+    """
+    tokens = (
+        F.col(token_col) if isinstance(token_col, str)
+        else token_col if token_col is not None
+        else F.size(words_column(text_col))
+    )
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        F.col(id_col), shard.alias("shard"), tokens.cast("long").alias("n_tokens")
+    )
+    cum = base.withColumn("__cum", F.sum("n_tokens").over(w))
+    before = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "shard",
+        F.floor(before / capacity).cast("int").alias("pack_id"),
+        "n_tokens",
+        F.pmod(before, F.lit(capacity)).cast("int").alias("offset_in_pack"),
+    )
 
 
 def weighted_sample(

@@ -250,6 +250,36 @@ def test_mix_job_end_to_end(spark, tmp_path, monkeypatch):
     assert stats["srcB"]["n_sampled"] == 2
 
 
+def test_pack_sequences_layout_and_determinism(spark):
+    """Greedy packing: docs fill packs in id order per shard; a doc
+    straddling the capacity boundary belongs to the pack where it STARTS;
+    the layout is independent of input partitioning."""
+    from ocr_spark.operators.mixing import pack_sequences
+
+    # one shard (n_shards=1): token counts 3, 4, 5, 2 with capacity 8
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, "h i j k l"), (3, "m n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, capacity=8, n_shards=1).collect()}
+    assert [(out[i]["pack_id"], out[i]["offset_in_pack"]) for i in range(4)] == [
+        (0, 0),   # tokens_before 0
+        (0, 3),   # tokens_before 3
+        (0, 7),   # tokens_before 7 — starts in pack 0, straddles into 1
+        (1, 4),   # tokens_before 12
+    ]
+    assert all(out[i]["shard"] == 0 for i in range(4))
+    # repartitioning the input must not change the layout
+    out2 = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+            for r in pack_sequences(docs.repartition(7), capacity=8, n_shards=1).collect()}
+    assert out2 == {i: (out[i]["pack_id"], out[i]["offset_in_pack"]) for i in range(4)}
+    # sharding: docs land in doc_id % n_shards with independent running sums
+    sharded = {r["doc_id"]: r for r in pack_sequences(docs, capacity=8, n_shards=2).collect()}
+    assert sharded[0]["shard"] == 0 and sharded[1]["shard"] == 1
+    assert sharded[2]["offset_in_pack"] == 3   # after doc 0 in shard 0
+    assert sharded[3]["offset_in_pack"] == 4   # after doc 1 in shard 1
+
+
 def test_oracle_whitespace_class_matches_java(spark):
     """Java's \\s includes vertical tab (U+000B); RE2's (DuckDB) does not.
     Every word-splitting oracle therefore uses [\\s\\x0b] — this pins that
