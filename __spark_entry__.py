@@ -1408,64 +1408,21 @@ def q_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the correctness driver checks the FIRST 50
+    # entries against the DuckDB oracle.  Gates that have never had a driver
+    # row (the flagship extraction_pipeline, the curation/mixing family,
+    # W1-W3) lead; long-stable single-function gates with two consecutive
+    # rounds of green driver rows (r2+r3) are rotated to positions 51-71 —
+    # they remain covered by tests/test_entry_parity.py (all 71).
     return {
-        "t4_math_rewrite": q_t4_math_rewrite,
-        "t5_figure_tags": q_t5_figure_tags,
-        "t6_layout": q_t6_layout,
-        "t13_question_id": q_t13_question_id,
-        "span_reconstruct": q_span_reconstruct,
-        "figure_numbering": q_figure_numbering,
-        "problems_grammar": q_problems_grammar,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "token_stats": q_token_stats,
-        "lang_detect": q_lang_detect,
-        "quality_score": q_quality_score,
-        "topk_similar": q_topk_similar,
-        "topk_per_query": q_topk_per_query,
-        "allpairs_label_counts": q_allpairs_label_counts,
-        "recent_events": q_recent_events,
-        "event_histogram": q_event_histogram,
-        "json_props": q_json_props,
-        "q1_pricing_summary": q1_pricing_summary,
-        "topk_orders": q_topk_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "parts_multi_cond": q_parts_multi_cond,
-        "weighted_scores": q_weighted_scores,
-        "weak_questions": q_weak_questions,
-        "vector_norms": q_vector_norms,
-        "calculate_scores": q_calculate_scores,
-        "best_stat": q_best_stat,
-        "frequent_questions": q_frequent_questions,
-        "union_except": q_union_except,
-        "topk_per_group": q_topk_per_group,
-        "tag_histogram": q_tag_histogram,
-        "tag_min_years": q_tag_min_years,
-        "head_tail": q_head_tail,
-        "json_block": q_json_block,
-        "markdown_render": q_markdown_render,
-        "base64_mime": q_base64_mime,
-        "stride_sample": q_stride_sample,
-        "fingerprint_dups": q_fingerprint_dups,
-        "winnow_overlap": q_winnow_overlap,
-        "simhash_dups": q_simhash_dups,
-        "ann_topk": q_ann_topk,
-        "media_meta": q_media_meta,
-        "media_features": q_media_features,
-        "embedding_near_dup": q_embedding_near_dup,
-        "problems_markdown": q_problems_markdown,
-        "extreme_pair": q_extreme_pair,
-        "event_windows": q_event_windows,
-        "ivf_topk": q_ivf_topk,
-        "pdf_pages": q_pdf_pages,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
+        # --- never driver-checked (rotated into the 50-row window, r4) ---
+        "extraction_pipeline": q_extraction_pipeline,
+        "embeddings_pipeline": q_embeddings_pipeline,
         "html_boilerplate": q_html_boilerplate,
         "html_blocks": q_html_blocks,
         "layout_regions": q_layout_regions,
         "reading_order": q_reading_order,
-        "extraction_pipeline": q_extraction_pipeline,
-        "embeddings_pipeline": q_embeddings_pipeline,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "repetition_stats": q_repetition_stats,
         "gopher_quality": q_gopher_quality,
         "token_entropy": q_token_entropy,
@@ -1480,6 +1437,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "lm_quality": q_lm_quality,
         "pack_sequences": q_pack_sequences,
+        # --- structurally important gates kept inside the window ---
+        "t4_math_rewrite": q_t4_math_rewrite,
+        "t5_figure_tags": q_t5_figure_tags,
+        "t6_layout": q_t6_layout,
+        "span_reconstruct": q_span_reconstruct,
+        "problems_grammar": q_problems_grammar,
+        "problems_markdown": q_problems_markdown,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "token_stats": q_token_stats,
+        "lang_detect": q_lang_detect,
+        "quality_score": q_quality_score,
+        "topk_similar": q_topk_similar,
+        "topk_per_query": q_topk_per_query,
+        "allpairs_label_counts": q_allpairs_label_counts,
+        "topk_per_group": q_topk_per_group,
+        "head_tail": q_head_tail,
+        "markdown_render": q_markdown_render,
+        "fingerprint_dups": q_fingerprint_dups,
+        "winnow_overlap": q_winnow_overlap,
+        "simhash_dups": q_simhash_dups,
+        "ann_topk": q_ann_topk,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "embedding_near_dup": q_embedding_near_dup,
+        "extreme_pair": q_extreme_pair,
+        "event_windows": q_event_windows,
+        "ivf_topk": q_ivf_topk,
+        "pdf_pages": q_pdf_pages,
+        # --- rotated out (green driver rows in r2 AND r3; parity-pinned) ---
+        "t13_question_id": q_t13_question_id,
+        "figure_numbering": q_figure_numbering,
+        "recent_events": q_recent_events,
+        "event_histogram": q_event_histogram,
+        "json_props": q_json_props,
+        "q1_pricing_summary": q1_pricing_summary,
+        "topk_orders": q_topk_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_multi_cond": q_parts_multi_cond,
+        "weighted_scores": q_weighted_scores,
+        "weak_questions": q_weak_questions,
+        "vector_norms": q_vector_norms,
+        "calculate_scores": q_calculate_scores,
+        "best_stat": q_best_stat,
+        "frequent_questions": q_frequent_questions,
+        "union_except": q_union_except,
+        "tag_histogram": q_tag_histogram,
+        "tag_min_years": q_tag_min_years,
+        "json_block": q_json_block,
+        "base64_mime": q_base64_mime,
+        "stride_sample": q_stride_sample,
     }
 
 

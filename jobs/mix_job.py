@@ -64,9 +64,14 @@ def main() -> None:
     weights = spark.read.csv(args.weights, schema="source string, weight double")
     catalog = Catalog(spark, args.catalog)
 
+    # localCheckpoint: the decontaminate plan (corpus tokenize + gram
+    # explode + broadcast join + per-doc count) fans out to THREE actions
+    # below (mix_contaminated write, mix write, mix_stats) — materialize it
+    # once instead of recomputing per action (same reason curate_job
+    # checkpoints its quality frame).
     flags = decontaminate(
         docs, bench, n=args.ngram, min_overlaps=args.min_overlaps
-    )
+    ).localCheckpoint()
     flagged = docs.join(flags, "doc_id")
     catalog.write(
         flagged.filter(~F.col("keep")).drop("keep"), "mix_contaminated"

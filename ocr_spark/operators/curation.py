@@ -375,6 +375,11 @@ def unigram_lm(
     materializes it once, and the returned plan reuses that result — so
     the corpus-wide tokenize+count shuffle runs exactly once, not once
     per downstream action."""
+    if add_k <= 0:
+        # add_k == 0 would be a plausible "no smoothing" request, but the
+        # unseen-word contract (log(k / denom)) is undefined at k = 0 —
+        # fail loudly instead of surfacing math.log's bare domain error.
+        raise ValueError("add_k must be > 0 (the unseen-word mass is k/denom)")
     words = docs.select(F.explode_outer(words_column(text_col)).alias("w")).filter(
         F.col("w").isNotNull()
     )

@@ -219,8 +219,20 @@ def pack_sequences(
         else F.size(words_column(text_col))
     )
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
-    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    # pmod over a string id would implicitly cast to NULL, collapsing the
+    # whole corpus into one NULL-shard window partition — the exact skew
+    # bomb the docstring warns about.  Numeric ids keep the documented
+    # growth-stable doc_id % n_shards layout; string ids shard by xxhash64
+    # (deterministic, uniform) instead of erroring.
+    id_type = docs.schema[id_col].dataType
+    shard_src = (
+        F.col(id_col)
+        if isinstance(id_type, NumericType)
+        else F.xxhash64(F.col(id_col))
+    )
+    shard = F.pmod(shard_src, F.lit(n_shards)).cast("int")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

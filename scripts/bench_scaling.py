@@ -340,10 +340,15 @@ def main() -> None:
         "simhash": "SimHash near-dup pairs (pair-of-blocks multi-index)",
         "chunkdedup": "C4 chunk dedup (min-struct keeper + winners rebuild)",
         "repetition": "Gopher repetition stats (unioned token stream)",
+        "decon": "eval-set decontamination (broadcast grams)",
+        "topngrams": "corpus top-k n-grams (map-combined heap)",
+        "deduplines": "intra-doc line dedup (doc-pinned partitions)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
+    # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the
+    # timed runs completed (that would drop the measurement on the floor)
     extra_rows = "\n".join(
-        f"| {_labels[j]} | {low[j]['sec']} | {high[j]['sec']} | {job_eff[j]} |"
+        f"| {_labels.get(j, j)} | {low[j]['sec']} | {high[j]['sec']} | {job_eff[j]} |"
         for j in extra_jobs
     )
     extra_runs = "; ".join(

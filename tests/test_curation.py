@@ -266,6 +266,21 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     assert set(stats) == {0, 1, 3} and stats[0]["entropy"] > 0
 
 
+def test_unigram_lm_rejects_zero_add_k(spark):
+    """add_k=0 is a plausible 'no smoothing' request, but the unseen-word
+    contract log(k/denom) is undefined there — it must raise a clear
+    ValueError, not a bare math domain error."""
+    import pytest
+
+    from ocr_spark.operators.curation import unigram_lm
+
+    corpus = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="add_k"):
+        unigram_lm(corpus, add_k=0)
+    with pytest.raises(ValueError, match="add_k"):
+        unigram_lm(corpus, add_k=-1.0)
+
+
 def test_lm_cross_entropy_matches_hand_math(spark):
     """Unigram LM + per-doc cross-entropy against hand-computed values,
     incl. the unseen-word floor and the empty doc."""

@@ -280,6 +280,30 @@ def test_pack_sequences_layout_and_determinism(spark):
     assert sharded[3]["offset_in_pack"] == 4   # after doc 1 in shard 1
 
 
+def test_pack_sequences_string_ids_shard_by_hash(spark):
+    """A string id column must NOT collapse into one NULL shard (pmod of
+    an implicit string→long cast is NULL): string ids shard by xxhash64,
+    deterministically, with non-null shard/pack/offset everywhere."""
+    from ocr_spark.operators.mixing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "w " * (i % 5 + 1)) for i in range(40)],
+        "doc_id string, text string",
+    )
+    rows = pack_sequences(docs, capacity=16, n_shards=8).collect()
+    assert len(rows) == 40
+    assert all(r["shard"] is not None and 0 <= r["shard"] < 8 for r in rows)
+    assert all(r["pack_id"] is not None and r["offset_in_pack"] is not None
+               for r in rows)
+    # deterministic: not everything in one shard, and a re-run agrees
+    assert len({r["shard"] for r in rows}) > 1
+    again = {r["doc_id"]: (r["shard"], r["pack_id"], r["offset_in_pack"])
+             for r in pack_sequences(docs.repartition(5), capacity=16,
+                                     n_shards=8).collect()}
+    assert again == {r["doc_id"]: (r["shard"], r["pack_id"], r["offset_in_pack"])
+                     for r in rows}
+
+
 def test_oracle_whitespace_class_matches_java(spark):
     """Java's \\s includes vertical tab (U+000B); RE2's (DuckDB) does not.
     Every word-splitting oracle therefore uses [\\s\\x0b] — this pins that
