@@ -250,32 +250,106 @@ def minhash_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself). Input and
+    output edges are canonical ``(u, v)`` with ``u > v``."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    # emitted (bigger-neighbor, neighborhood-min) is canonical: v > u >= m
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node links all of its smaller neighbors
+    (and itself) to the smallest of them. Canonical ``(u, v)``, ``u > v``."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return relink.unionByName(own).distinct()
+
+
+def _star_components(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame, int, bool]:
+    """Alternate large-star/small-star until the edge set is a fixpoint —
+    at convergence every component is a star whose center is its minimum
+    id. Rounds are bounded O(log² n) in the COMPONENT SIZE, independent of
+    graph diameter (the property min-label propagation lacks). Returns
+    ``(node→min mapping, rounds, converged)``; under non-convergence the
+    mapping is the partial ``groupBy-min`` of the remaining edges."""
+    edges = edges.localCheckpoint()
+    rounds, converged = 0, edges.isEmpty()
+    while not converged and rounds < max_iter:
+        rounds += 1
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # one action: symmetric difference of two distinct edge sets
+        converged = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .isEmpty()
+        )
+        edges = new_edges
+    # at fixpoint each non-root has exactly one edge (u, root); the
+    # groupBy-min is the identity there and a safe partial label otherwise
+    mapping = edges.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("id"), "label"
+    )
+    return mapping, rounds, converged
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
     allow_partial: bool = False,
+    method: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (id, cluster), where
     ``cluster`` = the smallest id reachable through dup edges. Transitivity
     matters: A≈B and B≈C must share one cluster even when A and C are not a
     candidate pair themselves.
 
-    Distributed min-label propagation (the Pregel/GraphX shape as plain
-    DataFrame joins): each round every node takes the min of its own label
-    and its neighbors' labels; converges in graph-diameter rounds (dup
-    clusters are shallow — typically ≤3–4). Each round is one shuffle-join
-    plus an aggregation; ``localCheckpoint`` truncates lineage so plans stay
-    flat. The driver-side loop is a convergence CHECK (one count per round),
-    not a data path. ``nodes`` (optional) adds isolated ids as singleton
-    clusters.
+    Two methods, property-tested equal (tests/test_dedup_textstats.py):
 
-    If labels are still changing after ``max_iter`` rounds (a component
-    whose graph distance from its minimum id exceeds ``max_iter`` — chains
-    longer than typical dup clusters), the result would be silently split;
-    this RAISES instead unless ``allow_partial=True``.
+    - ``"star"`` (default): alternating large-star/small-star (Kiveris et
+      al. 2014) — rounds bounded O(log² n) in component size, INDEPENDENT
+      of graph diameter, so a pathological 10⁶-link chain at 100× scale
+      converges in ~a dozen rounds instead of 10⁶. Each round is two
+      groupBy+join passes over the (shrinking) edge set.
+    - ``"propagation"``: min-label propagation (the Pregel/GraphX shape as
+      DataFrame joins) — one join+agg per round but O(diameter) rounds;
+      cheaper per round on the shallow 2–4-hop clusters dedup typically
+      produces.
+
+    Both localCheckpoint per round (flat plans); the driver-side loop is a
+    convergence CHECK (one bounded action per round), not a data path.
+    ``nodes`` (optional) adds isolated ids as singleton clusters. ``stats``
+    (optional dict) receives ``{"rounds": n, "method": ...}`` for
+    diagnostics.
+
+    If the method has not converged after ``max_iter`` rounds the result
+    would be silently split; this RAISES instead unless
+    ``allow_partial=True``.
     """
+    if max_iter < 1:
+        raise ValueError("dup_clusters needs max_iter >= 1")
+    if method not in ("star", "propagation"):
+        raise ValueError(f"unknown method {method!r}")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -286,10 +360,28 @@ def dup_clusters(
         members = members.unionByName(
             nodes.select(F.col(id_col).alias("id"))
         ).distinct()
-    if max_iter < 1:
-        raise ValueError("dup_clusters needs max_iter >= 1")
+
+    if method == "star":
+        canon = edges.filter(F.col("src") > F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        mapping, rounds, converged = _star_components(canon, max_iter)
+        if stats is not None:
+            stats.update(rounds=rounds, method=method)
+        if not converged and not allow_partial:
+            raise RuntimeError(
+                f"dup_clusters did not converge within max_iter={max_iter} "
+                "rounds — raise max_iter or pass allow_partial=True"
+            )
+        return members.join(mapping, "id", "left").select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster"),
+        )
+
     labels = members.select("id", F.col("id").alias("label")).localCheckpoint()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -321,6 +413,8 @@ def dup_clusters(
                 f"rounds ({changed} labels still changing) — raise max_iter "
                 "(graph diameter bound) or pass allow_partial=True"
             )
+    if stats is not None:
+        stats.update(rounds=rounds, method=method)
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
