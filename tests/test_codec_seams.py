@@ -75,6 +75,95 @@ def test_real_pdf_splitter_guards_without_pypdf():
 
 
 # ---------------------------------------------------------------------------
+# vendored codec inputs — REAL file formats, hand-assembled in pure Python
+# (no pypdf/PIL needed to BUILD them), so the parse path of the real codecs
+# is validated the moment the libs appear, and the stub path exercises true
+# magic-number sniffing today.
+# ---------------------------------------------------------------------------
+def _minimal_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Hand-rolled valid PNG: IHDR + zlib-deflated RGB scanlines + IEND.
+    Pure stdlib (struct + zlib) — decodable by any compliant reader."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_vendored_png_drives_the_stub_sniffer():
+    """The vendored PNG is a REAL png (magic + structure): the stub decode
+    must sniff 'png' from it, and its metadata stays the documented pure
+    function of the bytes — contract drift fails HERE, in this container,
+    not only in the skipped PIL-present test."""
+    png = _minimal_png(5, 3, (200, 10, 10))
+    w, h, fmt = _fake_decode(png)
+    assert fmt == "png"
+    assert w == 1 + len(png) % 600
+    assert h == 1 + (sum(png[:16]) % 600)
+
+
+def test_vendored_pdf_is_single_page_to_the_stub():
+    """The vendored one-page PDF contains no form feed, so the stub
+    splitter must treat it as exactly one page; the real splitter (pypdf,
+    absent here) would read the same bytes as one PDF page — the two seam
+    sides agree on page COUNT for this input by construction."""
+    pdf = _minimal_pdf(["only page"])
+    assert pdf.startswith(b"%PDF-")
+    pages = _fake_split_pages(pdf)
+    assert len(pages) == 1 and pages[0] == pdf
+
+
+def test_stub_udf_schemas_are_pinned(spark):
+    """ALWAYS-ON schema contract: the decode/resize UDFs and the page
+    splitter must emit exactly the documented fields and types on the
+    vendored inputs. The skipif-gated real-path tests assert real==stub
+    schema; this pins the stub half so drift cannot hide behind a skip."""
+    from pyspark.sql import functions as F
+
+    png, pdf = _minimal_png(4, 4, (1, 2, 3)), _minimal_pdf(["p1"])
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(pdf))], "i long, data binary"
+    )
+    meta = df.withColumn("m", make_decode_udf()("data"))
+    assert (
+        meta.schema["m"].dataType.simpleString()
+        == "struct<width:int,height:int,format:string,n_bytes:int>"
+    )
+    rz = df.withColumn("r", make_resize_udf()("data"))
+    assert (
+        rz.schema["r"].dataType.simpleString()
+        == "struct<data:binary,n_bytes:int,quality:int,resized:boolean>"
+    )
+    rows = {r.i: r.m for r in meta.collect()}
+    assert rows[0].format == "png" and rows[1].format == "fake-bin"
+
+    files = spark.createDataFrame(
+        [("mem://t/a.pdf", bytearray(pdf))], "path string, content binary"
+    )
+    split = split_pages(files)
+    assert [(f.name, f.dataType.simpleString()) for f in split.schema.fields] == [
+        ("path", "string"), ("page_no", "int"), ("page", "binary"),
+        ("n_bytes", "int"),
+    ]
+    got = split.collect()
+    assert len(got) == 1 and got[0].page_no == 1 and got[0].n_bytes == len(pdf)
+
+
+# ---------------------------------------------------------------------------
 # lib-present paths (skip cleanly in this container)
 # ---------------------------------------------------------------------------
 def _minimal_pdf(page_texts: list[str]) -> bytes:
@@ -146,9 +235,9 @@ def test_real_pil_decode_and_resize_through_spark(spark):
 
     from ocr_spark.operators.media import _MAX_BYTES, _QUALITY_STEPS
 
-    buf = io.BytesIO()
-    Image.new("RGB", (123, 45), (200, 10, 10)).save(buf, format="PNG")
-    png = buf.getvalue()
+    # the VENDORED hand-rolled PNG, not a PIL-generated one: PIL must parse
+    # bytes it did not itself write, validating the real decode parse path
+    png = _minimal_png(123, 45, (200, 10, 10))
 
     import numpy as np
 
