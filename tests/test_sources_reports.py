@@ -171,6 +171,94 @@ def test_report_from_head_tail_rows(spark):
 
 
 # ---------------------------------------------------------------------------
+# S10 visual half — draw-plan golden + env-gated matplotlib executor
+# ---------------------------------------------------------------------------
+GOLDEN_GRID_PLAN = {
+    "grid": (3, 3),
+    "figsize": (15, 15),
+    "dpi": 150,
+    "filename": "Q001_visual_comparison.png",
+    "title_fontsize": 12,
+    "cells": [
+        {"row": 0, "col": 1, "image": "/img/base.png",
+         "title": "ベース問題: Q001"},
+        {"row": 1, "col": 0, "image": "/img/s1.png",
+         "title": "類似問題 1 (距離: 0.1200)"},
+        {"row": 2, "col": 0, "image": "/img/s2.png",
+         "title": "類似問題 2 (距離: 0.3456)"},
+        {"row": 1, "col": 2, "image": "/img/d1.png",
+         "title": "非類似問題 1 (距離: 1.9000)"},
+    ],
+}
+
+
+def test_visual_grid_plan_golden():
+    """Pure layout plan mirrors the reference grid byte-exactly
+    (compare_samples.py:243-315): n_rows = 1 + min(max(sim, dis), 3), base
+    centered in row 0, similar down column 0, dissimilar down column 2."""
+    from ocr_spark.reports import plan_visual_grid
+
+    plan = plan_visual_grid(
+        "Q001", "/img/base.png",
+        [("/img/s1.png", 0.12), ("/img/s2.png", 0.34561)],
+        [("/img/d1.png", 1.9)],
+    )
+    assert plan == GOLDEN_GRID_PLAN
+
+
+def test_visual_grid_plan_skips_like_the_reference():
+    """Missing base image or an empty side returns None (the reference
+    warns and skips); >3 rows clamp to 3 with only 3 cells per side."""
+    from ocr_spark.reports import plan_visual_grid
+
+    sim = [(f"/s{i}.png", 0.1) for i in range(5)]
+    dis = [(f"/d{i}.png", 0.9) for i in range(5)]
+    assert plan_visual_grid("B", None, sim, dis) is None
+    assert plan_visual_grid("B", "/b.png", [], dis) is None
+    assert plan_visual_grid("B", "/b.png", sim, []) is None
+    plan = plan_visual_grid("B", "/b.png", sim, dis)
+    assert plan["grid"] == (4, 3) and len(plan["cells"]) == 7
+
+
+def _has_mod(mod: str) -> bool:
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_mod("matplotlib"),
+                    reason="matplotlib present: real render tested below")
+def test_visual_grid_render_guards_without_matplotlib():
+    from ocr_spark.reports import plan_visual_grid, render_visual_grid
+
+    plan = plan_visual_grid("B", "/b.png", [("/s.png", 0.1)], [("/d.png", 0.9)])
+    with pytest.raises(NotImplementedError):
+        render_visual_grid(plan, "/tmp")
+
+
+def test_visual_grid_render_through_matplotlib(tmp_path):
+    """With matplotlib present (cluster image), the executor must write the
+    reference-named png from the plan via headless Agg."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+
+    from ocr_spark.reports import plan_visual_grid, render_visual_grid
+
+    plan = plan_visual_grid(
+        "B", "base", [("s", 0.1)], [("d", 0.9)]
+    )
+    out = render_visual_grid(
+        plan, str(tmp_path),
+        image_loader=lambda _: np.zeros((4, 4, 3), dtype="uint8"),
+    )
+    assert out.endswith("B_visual_comparison.png")
+    import os
+    assert os.path.getsize(out) > 0
+
+
+# ---------------------------------------------------------------------------
 # S11 — snapshot / restore
 # ---------------------------------------------------------------------------
 def test_snapshot_restore_roundtrip(spark, tmp_path):
