@@ -32,13 +32,16 @@ from ocr_spark.operators.extract import extract_docs, render_markdown
 from ocr_spark.operators.curation import (
     chunk_dedup,
     dedup_lines,
+    lm_cross_entropy,
     repetition_stats,
     top_ngrams,
+    unigram_lm,
 )
 from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
-from ocr_spark.operators.mixing import decontaminate
+from ocr_spark.operators.mixing import decontaminate, pack_sequences
+from ocr_spark.operators.quantize import topk_similar_quantized
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
 
@@ -131,7 +134,32 @@ JOBS = {{
     # the repetition_stats shuffle shape — doc-pinned repartition, then
     # partition-local keeper + rebuild aggregations
     "deduplines": lambda: dedup_lines(spark.read.parquet(corpus + "_text")),
+    # CCNet LM quality end to end: the corpus-wide tokenize+count LM build
+    # (localCheckpoint'd inside unigram_lm) PLUS the per-doc cross-entropy
+    # — whose word->logp join is the one deliberately unhinted shuffle
+    # join in the curation family (curation.unigram_lm/lm_cross_entropy)
+    "lmquality": lambda: _lm_quality_job(),
+    # token-budget sequence packing: the shard-keyed running-sum window —
+    # n_shards IS the parallelism knob (uniform keys by construction),
+    # 4096 shards >> cores at both levels
+    "packseq": lambda: pack_sequences(
+        spark.read.parquet(corpus + "_text"), capacity=2048, n_shards=4096
+    ),
+    # int8 quantized top-k over the PERSISTED qvec/qscale table (the
+    # production shape: stage 1 scans the 4x-smaller stored column, exact
+    # rescore on the float column for the surviving 40)
+    "quantized": lambda: topk_similar_quantized(
+        spark.read.parquet(corpus + "_qemb"), _QUERY_VEC, k=10, rescore_factor=4
+    ),
 }}
+
+import math
+_QUERY_VEC = [math.sin(i + 1) for i in range(64)]
+
+def _lm_quality_job():
+    texts = spark.read.parquet(corpus + "_text")
+    lm, unseen = unigram_lm(texts)
+    return lm_cross_entropy(texts, lm, unseen_logp=unseen)
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
 # per-task overhead dominates the 4N level and poisons the efficiency read
@@ -141,6 +169,12 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "decon": 1024 * 1024,
                "topngrams": 1024 * 1024,
                "deduplines": 1024 * 1024,
+               "lmquality": 1024 * 1024,
+               "packseq": 1024 * 1024,
+               # qemb rows are wide (float + int8 vector per doc): 4 MiB
+               # keeps the scan-dominated job at tasks >> cores without
+               # thousands of near-empty scan tasks at 4N
+               "quantized": 4 * 1024 * 1024,
                # the token corpus is 13 MB compressed exploding to an
                # 846 MB shuffle: 64 KiB splits = 2,324 near-empty scan
                # tasks whose scheduling overhead only bites at 4N
@@ -165,6 +199,11 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   "decon": 4 * 1024 * 1024,
                   "topngrams": 4 * 1024 * 1024,
                   "deduplines": 4 * 1024 * 1024,
+                  # lmquality's word-count and join shuffles and packseq's
+                  # (id, shard, n_tokens) window shuffle are mid-size: the
+                  # 64 MB default would coalesce them below cores at 4N
+                  "lmquality": 4 * 1024 * 1024,
+                  "packseq": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -285,7 +324,7 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
     if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
-              "deduplines"} and not os.path.exists(
+              "deduplines", "lmquality", "packseq"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -304,13 +343,35 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen3], check=True, cwd=REPO)
 
+    if "quantized" in sel and not os.path.exists(
+        os.path.join(corpus + "_qemb", "_SUCCESS")
+    ):
+        # persisted int8 table (qvec/qscale + float embedding) — the
+        # production shape for quantized scan: stage 1 reads the stored
+        # 4x-smaller column, not a per-query re-quantization
+        gen4 = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from ocr_spark.session import get_spark\n"
+            "from ocr_spark.operators.embed import make_embedding_udf\n"
+            "from ocr_spark.operators.quantize import with_int8_vectors\n"
+            "from pyspark.sql import functions as F\n"
+            "spark = get_spark(master='local[32]')\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            "docs = spark.read.parquet({corpus!r}).select('doc_id')\n"
+            "emb_udf = make_embedding_udf(64)\n"
+            "emb = docs.select('doc_id', emb_udf(F.pmod(F.xxhash64('doc_id'), F.lit(10000))).alias('embedding'))\n"
+            "with_int8_vectors(emb).write.mode('overwrite').parquet({corpus!r} + '_qemb')\n"
+        ).format(repo=REPO, corpus=corpus)
+        subprocess.run([sys.executable, "-c", gen4], check=True, cwd=REPO)
+
     n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     low = run_level(n_cores, corpus)
     high = run_level(4 * n_cores, corpus)
     jobs_run = [
         j
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
-                  "chunkdedup", "repetition", "decon", "topngrams", "deduplines")
+                  "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
+                  "lmquality", "packseq", "quantized")
         if j in low and j in high
     ]
     job_eff = {
@@ -343,6 +404,9 @@ def main() -> None:
         "decon": "eval-set decontamination (broadcast grams)",
         "topngrams": "corpus top-k n-grams (map-combined heap)",
         "deduplines": "intra-doc line dedup (doc-pinned partitions)",
+        "lmquality": "CCNet LM quality (LM build + cross-entropy join)",
+        "packseq": "sequence packing (shard-keyed running-sum window)",
+        "quantized": "int8 quantized top-k (stored qvec scan + rescore)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the
