@@ -567,6 +567,66 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=3).orderBy("doc_id")
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synthesis: every PAIR of doc_ids shares a
+    canonical URL (base = doc_id // 2) but each member is dirtied
+    differently — even ids get WWW + :80 + trailing slash, odd ids get
+    tracking params + fragment + :8080 is kept only when doc_id % 4 == 1."""
+    d = F.col("doc_id")
+    base = F.floor(d / 2).cast("long")
+    even = d % 2 == 0
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(even, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (base % 10).cast("string"), F.lit(".Example.COM"),
+        F.when(even, F.lit(":80")).otherwise(
+            F.when(d % 4 == 1, F.lit(":8080")).otherwise(F.lit(""))
+        ),
+        F.lit("/Path/"), base.cast("string"),
+        F.when(even, F.lit("/")).otherwise(F.lit("")),
+        F.when(even, F.lit("?b=2&a=1")).otherwise(
+            F.lit("?utm_source=x&b=2&a=1")
+        ),
+        F.when(~even, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return _docs_table(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/web): messy pairs
+    (WWW/case/default-port/trailing-slash/tracking-params/fragment) must
+    collapse to one canonical URL each — EXCEPT odd ids carrying a real
+    :8080 port, which stay distinct. Winner = smallest doc_id, whole row
+    atomic. The oracle re-runs the identical RE2-portable normalization
+    chain in DuckDB."""
+    from ocr_spark.operators.web import url_dedup
+
+    urls = _messy_urls(spark, sf_dir)
+    return url_dedup(urls).select(
+        "canonical_url", "doc_id", "url"
+    ).orderBy("canonical_url")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain share cap (C4/RefinedWeb-style): one hot domain holds 80%
+    of the corpus; cap=25 keeps small domains intact and thins the hot one
+    via the row-local portable-uniform threshold (no domain-keyed window —
+    the skew-bomb-free scale path). DuckDB recomputes counts + the md5
+    uniform and must select the identical survivor set."""
+    from ocr_spark.operators.web import domain_cap
+
+    d = F.col("doc_id")
+    dom = F.when(
+        d % 5 == 0, F.concat(F.lit("cold"), (d % 7).cast("string"))
+    ).otherwise(F.lit("hot"))
+    urls = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), dom, F.lit(".com/"), d.cast("string")).alias("url"),
+    )
+    out = domain_cap(urls, cap=25, seed=11)
+    return out.select("doc_id", "domain", "domain_docs").orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source mix weights (Pile-style epoch weighting):
     src0 upsampled 2.5x, src1 kept at 25%, src2 dropped, everything else
@@ -1437,9 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "lm_quality": q_lm_quality,
         "pack_sequences": q_pack_sequences,
+        "url_canonical": q_url_canonical,
+        "domain_cap": q_domain_cap,
         # --- structurally important gates kept inside the window ---
-        "t4_math_rewrite": q_t4_math_rewrite,
-        "t5_figure_tags": q_t5_figure_tags,
         "t6_layout": q_t6_layout,
         "span_reconstruct": q_span_reconstruct,
         "problems_grammar": q_problems_grammar,
@@ -1468,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pdf_pages": q_pdf_pages,
         # --- rotated out (green driver rows in r2 AND r3; parity-pinned) ---
+        "t4_math_rewrite": q_t4_math_rewrite,
+        "t5_figure_tags": q_t5_figure_tags,
         "t13_question_id": q_t13_question_id,
         "figure_numbering": q_figure_numbering,
         "recent_events": q_recent_events,
@@ -2809,6 +2871,104 @@ def oracle_sql() -> dict[str, str]:
         from base b left join hits h using (doc_id)
         where b.doc_id % 97 <> 0
         order by b.doc_id
+    """
+    # full RE2-portable mirror of web.normalize_url (trim/fragment/scheme/
+    # host/www/default-port/path-slash/tracking-param/sort chain), then the
+    # smallest-doc_id winner per canonical URL
+    sql["url_canonical"] = r"""
+        with raw as (
+          select doc_id,
+                 'HTTP://' || case when doc_id % 2 = 0 then 'WWW.' else '' end ||
+                 'Site' || cast((doc_id // 2) % 10 as varchar) || '.Example.COM' ||
+                 case when doc_id % 2 = 0 then ':80'
+                      when doc_id % 4 = 1 then ':8080' else '' end ||
+                 '/Path/' || cast(doc_id // 2 as varchar) ||
+                 case when doc_id % 2 = 0 then '/' else '' end ||
+                 case when doc_id % 2 = 0 then '?b=2&a=1'
+                      else '?utm_source=x&b=2&a=1' end ||
+                 case when doc_id % 2 = 1 then '#frag' else '' end as url
+          from documents
+        ),
+        n0 as (
+          select doc_id, url, regexp_replace(trim(url), '#.*$', '') as u0
+          from raw
+        ),
+        n1 as (
+          select *,
+            lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) as scheme,
+            regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') as rest
+          from n0
+        ),
+        n2 as (
+          select *, regexp_extract(rest, '^([^/?]*)', 1) as hostport,
+                    regexp_replace(rest, '^[^/?]*', '') as pathq
+          from n1
+        ),
+        n3 as (
+          select *,
+            regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                           '^www\.', '') as host,
+            regexp_extract(hostport, ':(\d+)$', 1) as port
+          from n2
+        ),
+        n4 as (
+          select *,
+            case when port = '' or (scheme = 'http' and port = '80')
+                      or (scheme = 'https' and port = '443')
+                 then '' else ':' || port end as port_part,
+            case when regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                     '/+$', '') = ''
+                 then '/'
+                 else regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                     '/+$', '') end as pth,
+            regexp_replace(pathq, '^[^?]*\??', '') as qs
+          from n3
+        ),
+        n5 as (
+          select *,
+            array_to_string(list_sort(list_filter(string_split(qs, '&'),
+              p -> p <> '' and not regexp_matches(p,
+                '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') as qjoin
+          from n4
+        ),
+        n6 as (
+          select doc_id, url,
+            case when scheme = '' then trim(url)
+                 else scheme || '://' || host || port_part || pth ||
+                      case when qjoin = '' then '' else '?' || qjoin end
+            end as canonical_url
+          from n5
+        ),
+        win as (
+          select canonical_url, doc_id, url,
+                 row_number() over (partition by canonical_url
+                                    order by doc_id) as rn
+          from n6
+        )
+        select canonical_url, doc_id, url from win where rn = 1
+        order by canonical_url
+    """
+    sql["domain_cap"] = r"""
+        with urls as (
+          select doc_id,
+                 (case when doc_id % 5 = 0
+                       then 'cold' || cast(doc_id % 7 as varchar)
+                       else 'hot' end) || '.com' as domain
+          from documents
+        ),
+        c as (select domain, count(*) as domain_docs from urls group by domain),
+        u as (
+          select doc_id, urls.domain as domain, domain_docs,
+                 list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('11|' || cast(doc_id as varchar)), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) / 4294967296.0 as uu
+          from urls join c using (domain)
+        )
+        select doc_id, domain, domain_docs from u
+        where domain_docs <= 25 or uu < 25.0 / domain_docs
+        order by doc_id
     """
     sql["weighted_mix"] = r"""
         with w as (

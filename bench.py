@@ -118,6 +118,9 @@ HEADLINE = [
     "dedup_lines",
     "lm_quality",
     "pack_sequences",
+    # r4: web-corpus URL curation (canonicalize+dedup, domain share cap)
+    "url_canonical",
+    "domain_cap",
 ]
 
 
