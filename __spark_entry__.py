@@ -627,6 +627,39 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "domain", "domain_docs").orderBy("doc_id")
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (CCNet/DCLM-shape
+    gate): 32 seeded weight buckets, md5-portable word hashing, mean-pooled
+    logit + logistic — row-local, zero shuffles. The oracle regenerates the
+    identical weight vector from (n_buckets, seed) and recomputes the md5
+    bucket digit-by-digit."""
+    from ocr_spark.operators.classify import classifier_score, make_seeded_weights
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    out = classifier_score(
+        docs, make_seeded_weights(32, seed=5), bias=0.25, seed=3
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("score", 4).alias("quality_prob"),
+        (F.col("score") >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/cluster): seeded-centroid k-means
+    cells (the oracle-reproducible n_iter=0 form), cell-local cosine pairs,
+    drop any doc with a smaller-id cell-mate above the threshold. The
+    0.4 threshold matches the planted near-dup band of the synthetic
+    embeddings (same as embedding_near_dup) so both verdicts appear."""
+    from ocr_spark.operators.cluster import semdedup
+
+    emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    out = semdedup(emb, n_cells=8, threshold=0.4, n_iter=0)
+    return out.select("doc_id", "cell", "keep").orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source mix weights (Pile-style epoch weighting):
     src0 upsampled 2.5x, src1 kept at 25%, src2 dropped, everything else
@@ -1499,6 +1532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "url_canonical": q_url_canonical,
         "domain_cap": q_domain_cap,
+        # r4: hashed linear quality classifier + SemDeDup (new this round —
+        # inside the driver's 50-row window; the two rotated past 50 to make
+        # room, ivf_topk and pdf_pages, have two rounds of green driver rows)
+        "classifier_quality": q_classifier_quality,
+        "semdedup_keep": q_semdedup,
         # --- structurally important gates kept inside the window ---
         "t6_layout": q_t6_layout,
         "span_reconstruct": q_span_reconstruct,
@@ -2968,6 +3006,86 @@ def oracle_sql() -> dict[str, str]:
         )
         select doc_id, domain, domain_docs from u
         where domain_docs <= 25 or uu < 25.0 / domain_docs
+        order by doc_id
+    """
+    # classifier weights are REGENERATED here from (n_buckets, seed) — the
+    # same derivation the Spark gate uses (classify.make_seeded_weights), so
+    # the literal vector is identical on both sides by construction
+    from ocr_spark.operators.classify import make_seeded_weights
+
+    _wlit = "[" + ", ".join(repr(x) for x in make_seeded_weights(32, seed=5)) + "]"
+    sql["classifier_quality"] = r"""
+        with docs as (select doc_id, coalesce(text, '') as text from documents),
+        stripped as (
+          select doc_id,
+                 regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g') as t
+          from docs
+        ),
+        words as (
+          select doc_id, unnest(string_split_regex(t, '[\s\x0b]+')) as w
+          from stripped where t <> ''
+        ),
+        -- md5 word bucket, digit-by-digit (the portable_uniform trick):
+        -- first 8 hex chars of md5('3|' || word) as an integer, mod 32
+        b as (
+          select doc_id,
+                 cast(list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('3|' || w), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) as bigint) % 32 as bucket
+          from words
+        ),
+        s as (
+          select doc_id, count(*) as n_words,
+                 sum((WLIT::DOUBLE[])[bucket + 1]) as wsum
+          from b group by doc_id
+        ),
+        sc as (
+          select d.doc_id,
+                 cast(coalesce(s.n_words, 0) as int) as n_words,
+                 1.0 / (1.0 + exp(-(0.25 + coalesce(s.wsum / s.n_words, 0.0)))) as score
+          from docs d left join s using (doc_id)
+        )
+        select doc_id, n_words, round(score, 4) as quality_prob,
+               score >= 0.5 as keep
+        from sc order by doc_id
+    """.replace("WLIT", _wlit)
+    sql["semdedup_keep"] = """
+        with e as (
+          select vec_id, embedding::DOUBLE[] as v from embeddings
+        ),
+        keyed as (
+          -- centroid pick = 8 smallest LCG keys (mirrors the Spark
+          -- TakeOrderedAndProject pick bit-for-bit, same as ivf_topk)
+          select vec_id, v,
+                 (1103515245 * vec_id + 12345) % 2147483648 as key
+          from e
+        ),
+        cents as (
+          select cast(row_number() over (order by key, vec_id) as int) - 1 as cell,
+                 v as cvec
+          from keyed
+          qualify row_number() over (order by key, vec_id) <= 8
+        ),
+        assign as (
+          select e.vec_id, e.v, c.cell,
+                 row_number() over (partition by e.vec_id
+                     order by list_cosine_similarity(e.v, c.cvec) desc, c.cell) as rn
+          from e cross join cents c
+        ),
+        cells as (select vec_id, v, cell from assign where rn = 1),
+        -- cell-local pairs only; a doc is dropped iff some smaller-id
+        -- cell-mate sits at cosine >= threshold
+        dups as (
+          select a.vec_id as vid
+          from cells a join cells b using (cell)
+          where b.vec_id < a.vec_id
+            and list_cosine_similarity(a.v, b.v) >= 0.4
+          group by a.vec_id
+        )
+        select c.vec_id as doc_id, c.cell, (d.vid is null) as keep
+        from cells c left join dups d on d.vid = c.vec_id
         order by doc_id
     """
     sql["weighted_mix"] = r"""

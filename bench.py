@@ -118,9 +118,12 @@ HEADLINE = [
     "dedup_lines",
     "lm_quality",
     "pack_sequences",
-    # r4: web-corpus URL curation (canonicalize+dedup, domain share cap)
+    # r4: web-corpus URL curation (canonicalize+dedup, domain share cap),
+    # hashed linear quality classifier, SemDeDup semantic dedup
     "url_canonical",
     "domain_cap",
+    "classifier_quality",
+    "semdedup_keep",
 ]
 
 

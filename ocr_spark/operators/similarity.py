@@ -376,6 +376,80 @@ def ivf_centroid_pick(
     )
 
 
+def centroids_one_row(spark, rows) -> DataFrame:
+    """The centroid table COLLAPSED to one row holding
+    array<struct<cell,cvec>> — broadcast-crossJoined by callers, so the
+    centroids enter the plan as a COLUMN, never as literal expressions.
+    The r2 form embedded n_cells x dim F.lit nodes per probe expression:
+    fine at 16x64, a plan-compile/eval blowup at the reference's
+    pgvector config (lists=100 x dim=1536 ~ 150k literals,
+    /root/reference/src/db_utils.py:104-107). Array order inside the
+    row is irrelevant: ranking sorts by (neg_sim, cell)."""
+    df = spark.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows],
+        "cell int, cvec array<double>",
+    )
+    return df.agg(F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
+
+
+def best_cells_column(vec: "F.Column", n: int) -> "F.Column":
+    """cells of the n nearest centroids (cosine), as array<int>, read from
+    the broadcast ``__cents`` column (native sort; ties break to the
+    smaller cell via the (neg_sim, cell) struct order)."""
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine_similarity(vec, c["cvec"])).alias("neg_sim"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.slice(
+        F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
+    )
+
+
+def with_best_cells(
+    spark, df: DataFrame, vec: "F.Column", n: int, rows
+) -> DataFrame:
+    """df + the n best cells per row via ONE broadcast nested-loop join
+    against the single-row centroid table: narrow (no shuffle), flat
+    plan at any (n_cells, dim)."""
+    return (
+        df.crossJoin(F.broadcast(centroids_one_row(spark, rows)))
+        .withColumn("__cells", best_cells_column(vec, n))
+        .drop("__cents")
+    )
+
+
+def lloyd_iteration(
+    spark, embeddings: DataFrame, cent_rows: list, vec_col: str = "embedding"
+) -> list:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid (broadcast column, no shuffle), then mean per (cell,
+    component) — a posexplode into a map-side-combined avg whose shuffle
+    carries n_cells x dim partial rows per task, and a driver collect of
+    the SAME bounded size (model rows, not data rows). Empty cells vanish;
+    survivors renumber densely 0..k-1. Refined centroids are float means
+    whose cross-partition summation order is not bit-reproducible in SQL —
+    oracle-gated callers stay at the seeded pick (refine/n_iter = 0)."""
+    assigned_it = with_best_cells(
+        spark, embeddings, F.col(vec_col), 1, cent_rows
+    ).withColumn("cell", F.element_at("__cells", 1))
+    means = (
+        assigned_it.select("cell", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+        .groupBy("cell", "__i")
+        .agg(F.avg(F.col("__x").cast("double")).alias("m"))
+        .collect()  # n_cells x dim rows — driver-side like the pick
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["__i"]] = r["m"]
+    return [
+        {"cell": j, "cvec": [comps[i] for i in sorted(comps)]}
+        for j, (_, comps) in enumerate(sorted(by_cell.items()))
+    ]
+
+
 def ivf_topk_per_query(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -431,67 +505,13 @@ def ivf_topk_per_query(
     ]
     spark = embeddings.sparkSession
 
-    def _cents_one_row(rows) -> DataFrame:
-        """The centroid table COLLAPSED to one row holding
-        array<struct<cell,cvec>> — broadcast-crossJoined below, so the
-        centroids enter the plan as a COLUMN, never as literal expressions.
-        The r2 form embedded n_cells x dim F.lit nodes per probe expression:
-        fine at 16x64, a plan-compile/eval blowup at the reference's
-        pgvector config (lists=100 x dim=1536 ~ 150k literals,
-        /root/reference/src/db_utils.py:104-107). Array order inside the
-        row is irrelevant: ranking sorts by (neg_sim, cell)."""
-        df = spark.createDataFrame(
-            [(int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows],
-            "cell int, cvec array<double>",
-        )
-        return df.agg(
-            F.collect_list(F.struct("cell", "cvec")).alias("__cents")
-        )
-
-    def _best_cells(vec: Column, n: int) -> Column:
-        """cells of the n nearest centroids, as array<int> (native sort).
-        Same per-element cosine fold as r2 — numerics (and oracle parity)
-        unchanged; only where the centroid array COMES FROM changed."""
-        scored = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (-cosine_similarity(vec, c["cvec"])).alias("neg_sim"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        return F.slice(
-            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, n
-        )
-
     def _with_cells(df: DataFrame, vec: Column, n: int, rows) -> DataFrame:
-        """df + the n best cells per row via ONE broadcast nested-loop join
-        against the single-row centroid table: narrow (no shuffle), flat
-        plan at any (n_cells, dim)."""
-        return (
-            df.crossJoin(F.broadcast(_cents_one_row(rows)))
-            .withColumn("__cells", _best_cells(vec, n))
-            .drop("__cents")
-        )
+        return with_best_cells(spark, df, vec, n, rows)
 
     for _ in range(refine_iters):
-        # one Lloyd iteration: assign all vectors, mean per (cell, component)
-        assigned_it = _with_cells(
-            embeddings, F.col(vec_col), 1, cent_rows
-        ).withColumn("cell", F.element_at("__cells", 1))
-        means = (
-            assigned_it.select("cell", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
-            .groupBy("cell", "__i")
-            .agg(F.avg(F.col("__x").cast("double")).alias("m"))
-            .collect()  # n_cells x dim rows — driver-side like the pick
+        cent_rows = lloyd_iteration(
+            spark, embeddings, cent_rows, vec_col=vec_col
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["__i"]] = r["m"]
-        # empty cells vanish; survivors renumber densely 0..k-1
-        cent_rows = [
-            {"cell": j, "cvec": [comps[i] for i in sorted(comps)]}
-            for j, (_, comps) in enumerate(sorted(by_cell.items()))
-        ]
 
     assigned = _with_cells(embeddings, F.col(vec_col), 1, cent_rows).withColumn(
         "cell", F.element_at("__cells", 1)

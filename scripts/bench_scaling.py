@@ -41,7 +41,10 @@ from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
 from ocr_spark.operators.mixing import decontaminate, pack_sequences
+from ocr_spark.operators.classify import classifier_score_joined
+from ocr_spark.operators.cluster import semdedup
 from ocr_spark.operators.quantize import topk_similar_quantized
+from ocr_spark.operators.web import domain_cap
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
 
@@ -151,7 +154,44 @@ JOBS = {{
     "quantized": lambda: topk_similar_quantized(
         spark.read.parquet(corpus + "_qemb"), _QUERY_VEC, k=10, rescore_factor=4
     ),
+    # hashed linear classifier, joined (million-bucket) path: pinned
+    # repartition + posexplode + broadcast weight join + two id-keyed
+    # aggregations that reuse the repartition's HashPartitioning
+    "classify": lambda: classifier_score_joined(
+        spark.read.parquet(corpus + "_text"), _weights_df(), seed=2
+    ),
+    # SemDeDup at its production shape: BLAS matmul assignment (4096 cells
+    # x dim 64), localCheckpointed assignments, cell-local cosine pairs
+    # (~n^2/2k = 30M at 500k docs), map-side-combined witness aggregation
+    "semdedup": lambda: semdedup(
+        spark.read.parquet(corpus + "_qemb").select("doc_id", "embedding"),
+        n_cells=4096, threshold=0.8, n_iter=0, blas=True, materialize=True,
+    ),
+    # domain share cap over synthesized skew (one domain holds ~80% of the
+    # corpus): count + broadcast-back join + ROW-LOCAL keep decision — the
+    # no-window scale path under exactly the skew it exists for
+    "urlcap": lambda: domain_cap(_skewed_urls(), cap=1000, seed=11),
 }}
+
+def _weights_df():
+    # dense 2^18-bucket model regenerated per call (bounded: model rows)
+    n = 1 << 18
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.sin(F.col("id") + 1)).alias("weight"),
+    )
+
+def _skewed_urls():
+    d = F.col("doc_id")
+    dom = F.when(F.pmod(F.xxhash64(d), F.lit(5)) == 0,
+                 F.concat(F.lit("cold"), F.pmod(F.xxhash64(d), F.lit(997)).cast("string"))
+         ).otherwise(F.lit("hot"))
+    return spark.read.parquet(corpus + "_text").select(
+        "doc_id",
+        F.concat(F.lit("https://WWW."), dom,
+                 F.lit(".com/page/"), d.cast("string"),
+                 F.lit("?utm_source=feed&b=2&a=1")).alias("url"),
+    )
 
 import math
 _QUERY_VEC = [math.sin(i + 1) for i in range(64)]
@@ -171,6 +211,10 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "deduplines": 1024 * 1024,
                "lmquality": 1024 * 1024,
                "packseq": 1024 * 1024,
+               "classify": 1024 * 1024,
+               "urlcap": 1024 * 1024,
+               # qemb again: wide rows, scan feeds the Arrow assign UDF
+               "semdedup": 4 * 1024 * 1024,
                # qemb rows are wide (float + int8 vector per doc): 4 MiB
                # keeps the scan-dominated job at tasks >> cores without
                # thousands of near-empty scan tasks at 4N
@@ -204,6 +248,12 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # 64 MB default would coalesce them below cores at 4N
                   "lmquality": 4 * 1024 * 1024,
                   "packseq": 4 * 1024 * 1024,
+                  # classify's id-keyed aggregations and semdedup's
+                  # cell-join shuffle are mid-size at 500k: keep tasks >>
+                  # cores at 4N (same granularity artifact as chunkdedup)
+                  "classify": 4 * 1024 * 1024,
+                  "semdedup": 4 * 1024 * 1024,
+                  "urlcap": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -324,7 +374,8 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen2], check=True, cwd=REPO)
 
     if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
-              "deduplines", "lmquality", "packseq"} and not os.path.exists(
+              "deduplines", "lmquality", "packseq", "classify",
+              "urlcap"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -343,7 +394,7 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen3], check=True, cwd=REPO)
 
-    if "quantized" in sel and not os.path.exists(
+    if sel & {"quantized", "semdedup"} and not os.path.exists(
         os.path.join(corpus + "_qemb", "_SUCCESS")
     ):
         # persisted int8 table (qvec/qscale + float embedding) — the
@@ -371,7 +422,8 @@ def main() -> None:
         j
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
-                  "lmquality", "packseq", "quantized")
+                  "lmquality", "packseq", "quantized", "classify",
+                  "semdedup", "urlcap")
         if j in low and j in high
     ]
     job_eff = {
@@ -407,6 +459,9 @@ def main() -> None:
         "lmquality": "CCNet LM quality (LM build + cross-entropy join)",
         "packseq": "sequence packing (shard-keyed running-sum window)",
         "quantized": "int8 quantized top-k (stored qvec scan + rescore)",
+        "classify": "hashed linear classifier (joined path, 2^18 buckets)",
+        "semdedup": "SemDeDup (BLAS assign, cell-local cosine pairs)",
+        "urlcap": "domain share cap (row-local thinning under 80% skew)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the
