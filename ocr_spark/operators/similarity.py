@@ -357,12 +357,25 @@ def ivf_centroid_pick(
     vec_col: str = "embedding",
     seed: int = 0,
 ) -> DataFrame:
-    """The ``n_cells`` rows with the smallest LCG key of the numeric id —
+    """The ``n_cells`` rows with the smallest LCG key of the id —
     plans as TakeOrderedAndProject (per-partition k-heap + driver merge):
-    no global sort, no count() job (tests/test_plan_hygiene.py pins this)."""
+    no global sort, no count() job (tests/test_plan_hygiene.py pins this).
+
+    Numeric ids feed the LCG directly (the oracle-mirrored form the gate
+    queries pin); a string id would throw CAST_INVALID_INPUT under ANSI
+    mode, so those fold to a deterministic long via xxhash64 first (same
+    idiom as mixing.pack_sequences' shard derivation)."""
+    from pyspark.sql.types import NumericType
+
+    id_type = embeddings.schema[id_col].dataType
+    id_num = (
+        F.col(id_col).cast("long")
+        if isinstance(id_type, NumericType)
+        # bounded to 2^31 so the LCG multiply cannot overflow a long
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(2**31))
+    )
     lcg_key = F.pmod(
-        F.lit(1103515245) * (F.col(id_col).cast("long") + F.lit(seed))
-        + F.lit(12345),
+        F.lit(1103515245) * (id_num + F.lit(seed)) + F.lit(12345),
         F.lit(2**31),
     )
     return (

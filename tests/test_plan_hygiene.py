@@ -87,6 +87,33 @@ def test_ivf_centroid_pick_is_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan, plan[:1500]
 
 
+def test_ivf_centroid_pick_accepts_string_ids(spark):
+    """A string id column must not crash the LCG key (ANSI CAST_INVALID_INPUT
+    at scale: the r4 semdedup protocol leg fed doc_id='R03_page_…' and died
+    in the cast at similarity.py's centroid pick) — string ids fold through
+    a bounded xxhash64 instead, same TakeOrderedAndProject shape, and the
+    pick stays deterministic across partition layouts."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import ivf_centroid_pick
+
+    emb = spark.range(500).select(
+        F.concat(F.lit("R03_page_"), F.col("id").cast("string")).alias("doc_id"),
+        F.array(F.sin("id"), F.cos("id")).alias("embedding"),
+    )
+    df = ivf_centroid_pick(emb, 8)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    picked = sorted(r["__cid"] for r in df.collect())
+    repicked = sorted(
+        r["__cid"] for r in ivf_centroid_pick(emb.repartition(7), 8).collect()
+    )
+    assert picked == repicked
+    assert len(picked) == 8
+
+
 def test_north_rule_ops_have_no_single_partition_exchange(spark):
     """boilerplate / layout / pdf plans must never funnel through one task:
     all their windows are partitioned and all shuffles are keyed."""
