@@ -150,10 +150,13 @@ JOBS = {{
     ),
     # int8 quantized top-k over the PERSISTED qvec/qscale table (the
     # production shape: stage 1 scans the 4x-smaller stored column, exact
-    # rescore on the float column for the surviving 40)
-    "quantized": lambda: topk_similar_quantized(
-        spark.read.parquet(corpus + "_qemb"), _QUERY_VEC, k=10, rescore_factor=4
-    ),
+    # rescore on the float column for the surviving 40). A 24-query batch
+    # (unioned TakeOrdered branches, each tagged with its query index):
+    # one query finishes in ~2.5 s at 2 cores — fixed-overhead-dominated,
+    # unreadable efficiency — while the batch is the actual serving shape
+    # (a query stream amortizing the scan) and is work-dominated at both
+    # parallelism levels.
+    "quantized": lambda: _quantized_batch(24),
     # hashed linear classifier, joined (million-bucket) path: pinned
     # repartition + posexplode + broadcast weight join + two id-keyed
     # aggregations that reuse the repartition's HashPartitioning
@@ -195,6 +198,18 @@ def _skewed_urls():
 
 import math
 _QUERY_VEC = [math.sin(i + 1) for i in range(64)]
+
+def _quantized_batch(n_queries):
+    from functools import reduce
+    qemb = spark.read.parquet(corpus + "_qemb")
+    legs = [
+        topk_similar_quantized(
+            qemb, [math.sin(i + 1 + q) for i in range(64)],
+            k=10, rescore_factor=4,
+        ).select(F.lit(q).alias("query_idx"), "*")
+        for q in range(n_queries)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), legs)
 
 def _lm_quality_job():
     texts = spark.read.parquet(corpus + "_text")
