@@ -660,6 +660,71 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cell", "keep").orderBy("doc_id")
 
 
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared upstream of the two DSIR gates: target = every 11th document
+    (a deterministic 'domain' slice), raw = the rest; 32 md5 buckets over
+    unigram+bigram features, add-0.5 smoothing — every stage md5/ln-portable
+    so DuckDB replays the whole fit + scoring bit-for-bit."""
+    from ocr_spark.operators.dsir import dsir_log_ratios, dsir_score
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    raw = docs.filter(F.col("doc_id") % 11 != 0)
+    llr = dsir_log_ratios(target, raw, 32, ns=(1, 2), seed=3, add_k=0.5)
+    return dsir_score(raw, llr, 32, ns=(1, 2), seed=3)
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir, arXiv:2302.03169-style
+    hashed-ngram distribution matching): per-raw-document sum of the
+    target-vs-raw log-likelihood ratio of its hashed unigram+bigram
+    features."""
+    return _dsir_scored(spark, sf_dir).select(
+        "doc_id", "n_feats", F.round("log_w", 4).alias("log_w")
+    ).orderBy("doc_id")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection: the 20 raw documents with the largest
+    ``log_w + Gumbel(seed, id)`` key (sampling-without-replacement from the
+    softmax of the importance weights), ties by doc_id — plans as
+    TakeOrderedAndProject, and the Gumbel draw is the md5-portable uniform
+    shifted to the open interval so ln never sees 0 in either engine."""
+    from ocr_spark.operators.dsir import dsir_resample
+
+    out = dsir_resample(_dsir_scored(spark, sf_dir), 20, seed=7)
+    return out.select(
+        "doc_id", F.round("gumbel_score", 4).alias("gumbel_score")
+    ).orderBy("doc_id")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist verdicts (operators/web.blocklist_filter):
+    blocking a registrable domain blocks every subdomain — suffix fan-out
+    is bounded (max_depth), the blocklist broadcasts, only matched docs
+    reach the per-doc aggregation (the decontaminate plan shape). Hosts are
+    synthesized with case + www noise so canonicalization is exercised."""
+    from ocr_spark.operators.web import blocklist_filter
+
+    d = F.col("doc_id")
+    sub = F.when(d % 2 == 0, F.lit("ads.")).otherwise(F.lit(""))
+    base = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("bad"), (d % 2).cast("string"), F.lit(".example")),
+    ).otherwise(F.concat(F.lit("ok"), (d % 5).cast("string"), F.lit(".org")))
+    urls = _docs_table(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://WWW."), sub, base, F.lit("/p/"), d.cast("string")
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("bad0.example",), ("bad1.example",), ("unused.net",)], "domain string"
+    )
+    out = blocklist_filter(urls, bl)
+    return out.select("doc_id", "host", "blocked").orderBy("doc_id")
+
+
 def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source mix weights (Pile-style epoch weighting):
     src0 upsampled 2.5x, src1 kept at 25%, src2 dropped, everything else
@@ -739,6 +804,30 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lm_cross_entropy(docs, lm, unseen_logp=unseen)
     return out.select(
         "doc_id", "n_words", F.round("cross_entropy", 4).alias("cross_entropy")
+    ).orderBy("doc_id")
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (curation.perplexity_buckets)
+    over the lm_quality upstream: exact tertile thresholds (the
+    oracle-mirrorable ``percentile`` form; production passes explicit or
+    sketched thresholds), row-local labeling, doc at a threshold goes to
+    the lower bucket."""
+    from ocr_spark.operators.curation import (
+        lm_cross_entropy,
+        perplexity_buckets,
+        unigram_lm,
+    )
+
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    lm, unseen = unigram_lm(docs, add_k=0.5)
+    scored = lm_cross_entropy(docs, lm, unseen_logp=unseen).localCheckpoint()
+    out = perplexity_buckets(scored, exact=True)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+        "bucket",
     ).orderBy("doc_id")
 
 
@@ -1537,6 +1626,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room, ivf_topk and pdf_pages, have two rounds of green driver rows)
         "classifier_quality": q_classifier_quality,
         "semdedup_keep": q_semdedup,
+        # r4 late: DSIR importance resampling (new — inside the window; the
+        # two rotated past 50 to make room, extreme_pair and event_windows,
+        # have green r3 driver rows)
+        "dsir_scores": q_dsir_scores,
+        "dsir_select": q_dsir_select,
+        "url_blocklist": q_blocklist,
+        "perplexity_buckets": q_perplexity_buckets,
         # --- structurally important gates kept inside the window ---
         "t6_layout": q_t6_layout,
         "span_reconstruct": q_span_reconstruct,
@@ -1840,6 +1936,44 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(-s.ll / s.n_words, 0.0), 4) as cross_entropy
         from documents d left join scored s using (doc_id)
         order by d.doc_id
+    """
+    # CCNet head/middle/tail: the lm_quality scoring CTEs + exact tertile
+    # thresholds (quantile_cont == Spark's exact percentile, type-7
+    # interpolation on the same double ce values)
+    sql["perplexity_buckets"] = r"""
+        with words as (
+          select doc_id,
+                 unnest(string_split_regex(
+                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w
+          from documents
+          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+        ),
+        counts as (select w, count(*) as c from words group by w),
+        consts as (select cast(sum(c) as double) as total,
+                          cast(count(*) as double) as vocab from counts),
+        lm as (select w, ln((c + 0.5) / (total + 0.5 * (vocab + 1))) as logp
+               from counts cross join consts),
+        per_word as (select doc_id, w, count(*) as c from words group by doc_id, w),
+        scored as (
+          select p.doc_id,
+                 cast(sum(p.c) as int) as n_words,
+                 sum(l.logp * p.c) as ll
+          from per_word p join lm l using (w)
+          group by p.doc_id
+        ),
+        all_ce as (
+          select d.doc_id,
+                 coalesce(s.n_words, 0) as n_words,
+                 coalesce(-s.ll / s.n_words, 0.0) as ce
+          from documents d left join scored s using (doc_id)
+        ),
+        th as (select quantile_cont(ce, [1.0/3, 2.0/3]) as t from all_ce)
+        select doc_id, n_words, round(ce, 4) as cross_entropy,
+               case when ce <= t[1] then 'head'
+                    when ce <= t[2] then 'middle'
+                    else 'tail' end as bucket
+        from all_ce cross join th
+        order by doc_id
     """
     sql["dedup_lines"] = r"""
         with words as (
@@ -3087,6 +3221,106 @@ def oracle_sql() -> dict[str, str]:
         select c.vec_id as doc_id, c.cell, (d.vid is null) as keep
         from cells c left join dups d on d.vid = c.vec_id
         order by doc_id
+    """
+    # DSIR (operators/dsir): target = doc_id % 11 == 0, raw = the rest;
+    # 32 md5 buckets over unigram+bigram features, add-0.5 smoothing over
+    # the CLOSED 32-way space. Every stage is replayed exactly: the md5
+    # bucket digit-by-digit, ln on doubles, the dense bucket range.
+    _DSIR_COMMON = r"""
+        with docs as (select doc_id, coalesce(text, '') as text from documents),
+        base as (
+          select doc_id,
+                 case when regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(
+                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+          from docs
+        ),
+        grams as (
+          select doc_id, unnest(ws) as gram from base
+          union all
+          -- bigrams: DuckDB list slices are 1-based INCLUSIVE (ws[i:i+1]
+          -- is two elements); range(start, stop) excludes stop
+          select doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws), 1)),
+                        i -> array_to_string(ws[i:i+1], ' '))) as gram
+          from base
+        ),
+        b as (
+          select doc_id,
+                 cast(list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('3|' || gram), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) as bigint) % 32 as bucket
+          from grams
+        ),
+        tc as (select bucket, count(*) as c from b where doc_id % 11 = 0 group by bucket),
+        rc as (select bucket, count(*) as c from b where doc_id % 11 <> 0 group by bucket),
+        tt as (select coalesce(sum(c), 0) as t from tc),
+        rt as (select coalesce(sum(c), 0) as t from rc),
+        llr as (
+          select d.bucket,
+                 ln((coalesce(tc.c, 0) + 0.5) / (tt.t + 0.5 * 32))
+               - ln((coalesce(rc.c, 0) + 0.5) / (rt.t + 0.5 * 32)) as llr
+          from (select cast(range as bigint) as bucket from range(0, 32)) d
+          left join tc using (bucket) left join rc using (bucket)
+          cross join tt cross join rt
+        ),
+        perdoc as (
+          select b.doc_id, count(*) as n_feats, sum(llr.llr) as log_w
+          from b join llr using (bucket)
+          where b.doc_id % 11 <> 0
+          group by b.doc_id
+        ),
+        scored as (
+          select d.doc_id,
+                 cast(coalesce(p.n_feats, 0) as bigint) as n_feats,
+                 coalesce(p.log_w, 0.0) as log_w
+          from docs d left join perdoc p using (doc_id)
+          where d.doc_id % 11 <> 0
+        )
+    """
+    sql["dsir_scores"] = _DSIR_COMMON + r"""
+        select doc_id, n_feats, round(log_w, 4) as log_w
+        from scored order by doc_id
+    """
+    sql["url_blocklist"] = r"""
+        with u as (
+          select doc_id,
+                 (case when doc_id % 2 = 0 then 'ads.' else '' end) ||
+                 (case when doc_id % 3 = 0
+                       then 'bad' || cast(doc_id % 2 as varchar) || '.example'
+                       else 'ok' || cast(doc_id % 5 as varchar) || '.org' end) as host
+          from documents
+        ),
+        s as (
+          select doc_id, host,
+                 list_transform(range(1, len(string_split(host, '.')) + 1),
+                     i -> array_to_string(string_split(host, '.')[i:], '.')) as sfx
+          from u
+        )
+        select doc_id, host,
+               list_has_any(sfx, ['bad0.example', 'bad1.example', 'unused.net']) as blocked
+        from s order by doc_id
+    """
+    sql["dsir_select"] = _DSIR_COMMON + r"""
+        , gumbel as (
+          select doc_id,
+                 log_w + (-ln(-ln((list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('7|' || cast(doc_id as varchar)), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) + 0.5) / 4294967296.0))) as g
+          from scored
+        ),
+        topk as (
+          select doc_id, g from gumbel
+          order by g desc, doc_id
+          limit 20
+        )
+        select doc_id, round(g, 4) as gumbel_score
+        from topk order by doc_id
     """
     sql["weighted_mix"] = r"""
         with w as (

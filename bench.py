@@ -124,6 +124,12 @@ HEADLINE = [
     "domain_cap",
     "classifier_quality",
     "semdedup_keep",
+    # r4 late: DSIR hashed-ngram importance resampling (fit + score + gumbel
+    # top-k select)
+    "dsir_scores",
+    "dsir_select",
+    "url_blocklist",
+    "perplexity_buckets",
 ]
 
 

@@ -449,6 +449,62 @@ def lm_cross_entropy(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    thresholds: tuple[float, ...] | None = None,
+    fractions: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    exact: bool = False,
+    accuracy: int = 10000,
+    score_col: str = "cross_entropy",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020 §4.3):
+    label every document by where its LM score falls in the corpus
+    distribution — ``head`` = most natural text, ``tail`` = most degenerate.
+    Input is :func:`lm_cross_entropy` output (or anything with
+    ``score_col``); adds ``bucket_col``. A doc at a threshold goes to the
+    LOWER bucket (``score <= t``).
+
+    Threshold sourcing, in production-preference order:
+
+    * ``thresholds`` explicit (len = len(labels)-1): the 10^12-row path —
+      calibrate once (offline, or from a sample) and the labeling is a pure
+      row-local expression, zero extra passes;
+    * ``exact=False`` (default compute path): one ``percentile_approx``
+      pass — t-digest sketch, bounded executor memory at any corpus size;
+    * ``exact=True``: Spark's exact ``percentile`` — buffers every value in
+      the aggregation, so bounded corpora only; it is the oracle-mirrorable
+      form (DuckDB ``quantile_cont``, same type-7 interpolation).
+
+    The computed thresholds are a len(fractions) scalar collect — bounded
+    by contract, never data-sized."""
+    if thresholds is not None:
+        cuts = [float(t) for t in thresholds]
+    else:
+        pcts = F.lit([float(f) for f in fractions])
+        agg = (
+            F.percentile(score_col, pcts)
+            if exact
+            else F.percentile_approx(score_col, pcts, F.lit(accuracy))
+        )
+        cuts = list(scored.agg(agg.alias("t")).collect()[0]["t"])
+    if len(cuts) != len(labels) - 1:
+        raise ValueError(
+            f"need {len(labels) - 1} thresholds for {labels}, got {len(cuts)}"
+        )
+    if sorted(cuts) != cuts:
+        raise ValueError(f"thresholds must be non-decreasing: {cuts}")
+    expr = None
+    for label, cut in zip(labels[:-1], cuts):
+        cond = F.col(score_col) <= F.lit(float(cut))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+    return scored.withColumn(bucket_col, expr)
+
+
 def dedup_lines(
     docs: DataFrame,
     text_col: str = "text",

@@ -39,6 +39,8 @@ __all__ = [
     "url_dedup",
     "domain_stats",
     "domain_cap",
+    "host_suffixes",
+    "blocklist_filter",
 ]
 
 # tracking params dropped during canonicalization (RE2-portable alternation)
@@ -179,3 +181,64 @@ def domain_cap(
         < F.lit(float(cap)) / F.col("domain_docs")
     )
     return joined.filter(keep)
+
+
+def host_suffixes(col: Column | str, max_depth: int = 6) -> Column:
+    """All dot-suffixes of a host, most-specific first —
+    ``a.b.example.com`` -> ``[a.b.example.com, b.example.com, example.com,
+    com]`` — capped at the ``max_depth`` SHORTEST suffixes (a pathological
+    100-label host yields only its last ``max_depth`` suffixes; blocklists
+    key on registrable domains, which live at the short end, so the
+    dropped deep suffixes cost nothing). Row-local; each suffix is an
+    O(depth) ``slice`` + join of the labels array."""
+    c = F.col(col) if isinstance(col, str) else col
+    labels = F.split(c, r"\.")
+    n = F.size(labels)
+    start = F.when(n > max_depth, n - max_depth + 1).otherwise(F.lit(1))
+    idx = F.when(n >= 1, F.sequence(start, n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(labels, i, n - i + 1), ".")
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    max_depth: int = 6,
+) -> DataFrame:
+    """UT1-style domain blocklist verdicts: adds ``host`` and ``blocked``
+    (true iff SOME dot-suffix of the canonical host appears in
+    ``blocklist[domain_col]`` — so blocking ``example.com`` blocks
+    ``ads.example.com`` too, the adult/malware-list contract every web
+    pipeline applies before content filtering).
+
+    Plan shape is decontaminate's: the per-doc suffix fan-out is bounded
+    (``max_depth`` rows per doc), the blocklist — 10^5..10^6 rows for the
+    published UT1/Dolma lists — is DISTINCT'd and broadcast, the suffix
+    stream meets it in a map-side inner join, and only the MATCHED stream
+    (blocked docs, selective by design) reaches the per-doc aggregation.
+    The verdict joins back onto the raw rows id-keyed. Never a distinct or
+    window over the suffix stream."""
+    host = url_domain(normalize_url(url_col))
+    with_host = docs.withColumn("host", host)
+    suffixes = with_host.select(
+        id_col, F.explode_outer(host_suffixes(F.col("host"), max_depth)).alias("__sfx")
+    ).filter(F.col("__sfx") != "")
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("__sfx")).distinct()
+    )
+    hits = (
+        suffixes.join(bl, "__sfx")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__nhits"))
+    )
+    return (
+        with_host.join(hits, id_col, "left")
+        .withColumn("blocked", F.col("__nhits").isNotNull())
+        .drop("__nhits")
+    )

@@ -44,6 +44,7 @@ from ocr_spark.operators.mixing import decontaminate, pack_sequences
 from ocr_spark.operators.classify import classifier_score_joined
 from ocr_spark.operators.cluster import semdedup
 from ocr_spark.operators.quantize import topk_similar_quantized
+from ocr_spark.operators.dsir import dsir_log_ratios, dsir_score
 from ocr_spark.operators.web import domain_cap
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
@@ -174,6 +175,10 @@ JOBS = {{
     # corpus): count + broadcast-back join + ROW-LOCAL keep decision — the
     # no-window scale path under exactly the skew it exists for
     "urlcap": lambda: domain_cap(_skewed_urls(), cap=1000, seed=11),
+    # DSIR end to end: two corpus-wide hashed-gram fit aggregations
+    # (model-sized shuffles) + the broadcast-llr scoring join over the raw
+    # pool (the classify joined shape), 2^16 buckets, unigram+bigram
+    "dsir": lambda: _dsir_job(),
 }}
 
 def _weights_df():
@@ -215,6 +220,13 @@ def _lm_quality_job():
     texts = spark.read.parquet(corpus + "_text")
     lm, unseen = unigram_lm(texts)
     return lm_cross_entropy(texts, lm, unseen_logp=unseen)
+
+def _dsir_job():
+    texts = spark.read.parquet(corpus + "_text")
+    is_target = F.pmod(F.xxhash64("doc_id"), F.lit(37)) == 0
+    target, raw = texts.filter(is_target), texts.filter(~is_target)
+    llr = dsir_log_ratios(target, raw, 1 << 16, ns=(1, 2), seed=2)
+    return dsir_score(raw, llr, 1 << 16, ns=(1, 2), seed=2)
 # per-job input split size: 64 KiB suits the span-heavy docs corpus (rows
 # expand ~100x on explode); the flat rendered-text input wants ~1 MiB or
 # per-task overhead dominates the 4N level and poisons the efficiency read
@@ -228,6 +240,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "packseq": 1024 * 1024,
                "classify": 1024 * 1024,
                "urlcap": 1024 * 1024,
+               "dsir": 1024 * 1024,
                # qemb again: wide rows, scan feeds the Arrow assign UDF
                "semdedup": 4 * 1024 * 1024,
                # qemb rows are wide (float + int8 vector per doc): 4 MiB
@@ -269,6 +282,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   "classify": 4 * 1024 * 1024,
                   "semdedup": 4 * 1024 * 1024,
                   "urlcap": 4 * 1024 * 1024,
+                  "dsir": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -390,7 +404,7 @@ def main() -> None:
 
     if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
               "deduplines", "lmquality", "packseq", "classify",
-              "urlcap"} and not os.path.exists(
+              "urlcap", "dsir"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -438,7 +452,7 @@ def main() -> None:
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
                   "lmquality", "packseq", "quantized", "classify",
-                  "semdedup", "urlcap")
+                  "semdedup", "urlcap", "dsir")
         if j in low and j in high
     ]
     job_eff = {
@@ -477,6 +491,7 @@ def main() -> None:
         "classify": "hashed linear classifier (joined path, 2^18 buckets)",
         "semdedup": "SemDeDup (BLAS assign, cell-local cosine pairs)",
         "urlcap": "domain share cap (row-local thinning under 80% skew)",
+        "dsir": "DSIR importance scoring (2-corpus fit + broadcast-llr join)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the

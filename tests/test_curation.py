@@ -365,3 +365,65 @@ def test_no_phantom_words_from_nonspace_whitespace(spark):
     tc = {r["doc_id"]: r["c"] for r in docs.select(
         "doc_id", whitespace_token_count("text").alias("c")).collect()}
     assert tc == {1: 2, 2: 0, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+def test_perplexity_buckets_explicit_thresholds_row_local(spark):
+    from ocr_spark.operators.curation import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)],
+        "doc_id int, cross_entropy double",
+    ).localCheckpoint()
+    out = perplexity_buckets(scored, thresholds=(2.0, 3.0))
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # boundary docs fall to the LOWER bucket (<=)
+    assert got == {1: "head", 2: "head", 3: "middle", 4: "tail"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # explicit thresholds: pure row-local
+
+
+def test_perplexity_buckets_exact_tertiles(spark):
+    from ocr_spark.operators.curation import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)],
+        "doc_id int, cross_entropy double",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(scored, exact=True).collect()}
+    # 1..9: type-7 tertiles at (n-1)*1/3 -> 3.6666.., (n-1)*2/3 -> 6.333..
+    want = {i: ("head" if i <= 3 else "middle" if i <= 6 else "tail")
+            for i in range(1, 10)}
+    assert got == want
+
+
+def test_perplexity_buckets_approx_default_matches_exact_here(spark):
+    from ocr_spark.operators.curation import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(300)],
+        "doc_id int, cross_entropy double",
+    ).localCheckpoint()
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(scored, exact=True).collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in perplexity_buckets(scored).collect()}
+    # t-digest at default accuracy is exact on 37 distinct values
+    assert approx == exact
+
+
+def test_perplexity_buckets_validation(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.curation import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(1, 1.0)], "doc_id int, cross_entropy double"
+    )
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, thresholds=(1.0,), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, thresholds=(2.0, 1.0))

@@ -146,3 +146,70 @@ def test_domain_cap_scale_path_has_no_window(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Window" in exact_plan
+
+
+# ------------------------------------------------------------- blocklist
+
+def test_host_suffixes_cases(spark):
+    from ocr_spark.operators.web import host_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("com",), ("",)],
+        "host string",
+    )
+    got = [r["s"] for r in df.select(host_suffixes("host").alias("s")).collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[1] == ["example.com", "com"]
+    assert got[2] == ["com"]
+    assert got[3] == [""]
+
+
+def test_host_suffixes_depth_cap_keeps_short_end(spark):
+    from ocr_spark.operators.web import host_suffixes
+
+    df = spark.createDataFrame([("a.b.c.d.e.f.g.com",)], "host string")
+    got = df.select(host_suffixes("host", max_depth=3).alias("s")).collect()[0]["s"]
+    assert got == ["f.g.com", "g.com", "com"]
+
+
+def test_blocklist_filter_blocks_subdomains(spark):
+    from ocr_spark.operators.web import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://ads.tracker.example/x"),
+            (2, "https://WWW.Tracker.EXAMPLE/y"),
+            (3, "http://safe.org/z"),
+            (4, "https://sub.safe.org/w"),
+            (5, "http://org/just-a-tld"),
+            (6, None),
+        ],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame([("tracker.example",)], "domain string")
+    got = {r["doc_id"]: (r["host"], r["blocked"])
+           for r in blocklist_filter(docs, bl).collect()}
+    assert got[1] == ("ads.tracker.example", True)
+    assert got[2] == ("tracker.example", True)  # canonical host, www/case-folded
+    assert got[3] == ("safe.org", False)
+    assert got[4] == ("sub.safe.org", False)
+    assert got[5] == ("org", False)
+    assert got[6][1] is False  # null url -> never blocked, row survives
+
+
+def test_blocklist_filter_plan_broadcasts_and_never_distincts_stream(spark):
+    from ocr_spark.operators.web import blocklist_filter
+
+    docs = spark.range(200).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("http://h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+    )
+    bl = spark.createDataFrame([("h3.example.com",), ("nope.net",)], "domain string")
+    out = blocklist_filter(docs, bl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the suffix stream is aggregated per doc, never deduplicated wholesale
+    assert "HashAggregate" in plan
+    got = {r["doc_id"]: r["blocked"] for r in out.collect()}
+    assert all(got[i] == (i % 9 == 3) for i in range(200))
