@@ -831,6 +831,71 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (curation.exact_substring_dedup, arXiv:2107.06499):
+    a shared 8-word boilerplate block is planted at the head of every third
+    document, so its sliding 5-word windows are corpus-wide duplicates; the
+    lexicographically first occurrence keeps its text, every other planted
+    doc loses the maximal merged span. Value-exact via md5 of the rebuilt
+    text (untouched docs keep their original text byte-for-byte)."""
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    bp = "subscribe to our newsletter for daily updates today"
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(bp + " "), F.coalesce("text", F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    out = exact_substring_dedup(planted, min_words=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        "n_words",
+        "n_removed",
+        "n_dup_spans",
+    ).orderBy("doc_id")
+
+
+def q_wet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET record parsing (sources/warc.wet_record_columns): every document
+    is serialized into a CRLF WARC conversion record (headers + blank line
+    + payload + record padding) and parsed back columnar — the oracle is
+    the identity on the planted fields, with the payload's trailing
+    newline run folded into the record padding (the WET framing makes the
+    two indistinguishable by design)."""
+    from ocr_spark.sources.warc import wet_record_columns
+
+    d = _docs_table(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    rec = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\r\nWARC-Date: 2024-01-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("T00:00:00Z\r\nContent-Length: "),
+            F.length("t").cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("t"),
+            F.lit("\r\n\r\n"),
+        ).alias("value"),
+    )
+    cols = wet_record_columns("value")
+    return rec.select(
+        "doc_id",
+        cols["record_type"].alias("record_type"),
+        cols["url"].alias("url"),
+        cols["warc_date"].alias("warc_date"),
+        cols["content_length"].alias("content_length"),
+        F.md5(F.coalesce(cols["text"], F.lit(""))).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized candidate scan + exact rescore (operators/quantize):
     the 4x-smaller-storage ANN path. The oracle recomputes the identical
@@ -1633,6 +1698,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "url_blocklist": q_blocklist,
         "perplexity_buckets": q_perplexity_buckets,
+        # r4 late: ExactSubstr dedup + WET source parsing (new — inside the
+        # window; media_meta and ann_topk, rotated past 50 to make room,
+        # have green r2+r3 driver rows)
+        "substr_dedup": q_substr_dedup,
+        "wet_parse": q_wet_parse,
         # --- structurally important gates kept inside the window ---
         "t6_layout": q_t6_layout,
         "span_reconstruct": q_span_reconstruct,
@@ -2950,6 +3020,99 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_chunks, 0) as n_chunks,
                coalesce(a.n_kept, 0) as n_kept
         from documents d left join agg a using (doc_id)
+    """
+    # ExactSubstr dedup: windows keyed by TEXT here (the Spark side keys on
+    # a dual-xxhash64 pair — equivalent absent a 128-bit collision, which
+    # at sf scale is ~1e-15); keeper = row_number 1 by (doc, pos), interval
+    # merge via gaps-and-islands (equal window length k=5 makes the
+    # running-max lag(pos)+5), rebuild = words not covered by any island.
+    sql["substr_dedup"] = r"""
+        with docs0 as (
+          select doc_id,
+                 case when doc_id % 3 = 0
+                      then 'subscribe to our newsletter for daily updates today '
+                           || coalesce(text, '')
+                      else text end as t
+          from documents
+        ),
+        base as (
+          select doc_id, coalesce(t, '') as t,
+                 case when regexp_replace(coalesce(t, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
+                      then cast([] as varchar[])
+                      else string_split_regex(
+                        regexp_replace(t, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+          from docs0
+        ),
+        wins as (
+          select doc_id,
+                 unnest(range(1, greatest(len(ws) - 3, 1))) - 1 as pos,
+                 unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+                        p -> array_to_string(ws[p:p+4], ' '))) as wtext
+          from base
+        ),
+        fl as (
+          select doc_id, pos,
+                 count(*) over (partition by wtext) as c,
+                 row_number() over (partition by wtext order by doc_id, pos) as rn
+          from wins
+        ),
+        rem as (select doc_id, pos from fl where c >= 2 and rn > 1),
+        isl as (
+          select doc_id, pos,
+                 case when pos > coalesce(lag(pos) over (partition by doc_id order by pos),
+                                          -1000000) + 5
+                      then 1 else 0 end as brk
+          from rem
+        ),
+        isl2 as (
+          select doc_id, pos,
+                 sum(brk) over (partition by doc_id order by pos) as gid
+          from isl
+        ),
+        ivs as (
+          select doc_id, gid, min(pos) as s, max(pos) + 5 as e
+          from isl2 group by doc_id, gid
+        ),
+        stats as (
+          select doc_id, sum(e - s) as n_removed, count(*) as n_spans
+          from ivs group by doc_id
+        ),
+        ww as (
+          select doc_id, unnest(ws) as w, generate_subscripts(ws, 1) as pos
+          from base where len(ws) > 0
+        ),
+        keptagg as (
+          select w.doc_id, string_agg(w.w, ' ' order by w.pos) as newtext
+          from ww w
+          where not exists (select 1 from ivs v
+                            where v.doc_id = w.doc_id
+                              and w.pos - 1 >= v.s and w.pos - 1 < v.e)
+          group by w.doc_id
+        )
+        select b.doc_id,
+               md5(case when st.doc_id is null then b.t
+                        else coalesce(ka.newtext, '') end) as text_md5,
+               cast(len(b.ws) as bigint) as n_words,
+               cast(coalesce(st.n_removed, 0) as bigint) as n_removed,
+               cast(coalesce(st.n_spans, 0) as bigint) as n_dup_spans
+        from base b
+        left join stats st using (doc_id)
+        left join keptagg ka using (doc_id)
+        order by b.doc_id
+    """
+    # WET parse roundtrip: expected output restated from the planted
+    # construction — the identity IS the contract (construct -> parse);
+    # the payload's trailing newlines fold into the record padding
+    sql["wet_parse"] = r"""
+        with d as (select doc_id, coalesce(text, '') as t from documents)
+        select doc_id,
+               'conversion' as record_type,
+               'http://ex.com/' || cast(doc_id as varchar) as url,
+               '2024-01-0' || cast(doc_id % 9 + 1 as varchar)
+                 || 'T00:00:00Z' as warc_date,
+               cast(length(t) as bigint) as content_length,
+               md5(regexp_replace(t, '(\r?\n)+$', '')) as text_md5
+        from d order by doc_id
     """
     sql["curation_pipeline"] = r"""
         with base as (

@@ -130,6 +130,9 @@ HEADLINE = [
     "dsir_select",
     "url_blocklist",
     "perplexity_buckets",
+    # r4 late: ExactSubstr sliding-window dedup + WET record parsing
+    "substr_dedup",
+    "wet_parse",
 ]
 
 

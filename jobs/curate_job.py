@@ -8,7 +8,8 @@ Ship and run:
         jobs/curate_job.py \\
         --input  /path/to/documents_table \\
         --catalog /path/to/catalog \\
-        [--min-words 50] [--chunk-words 10] [--redact-pii] [--dedup-lines]
+        [--min-words 50] [--chunk-words 10] [--redact-pii] [--dedup-lines] \\
+        [--substr-dedup [--substr-words 20]]
 
 The training-data curation flow over a (doc_id, text) table, cheapest
 filter first so each stage sees less data:
@@ -25,8 +26,11 @@ filter first so each stage sees less data:
     3. optional ``--dedup-lines`` removes INTRA-document repeated lines
        (C4's other dedup rule) before the cross-document pass, so a doc's
        own boilerplate never inflates the global chunk table;
-    4. ``chunk_dedup``     — C4-style cross-document exact chunk dedup on
-       the survivors (first occurrence wins);
+    4. cross-document dedup on the survivors: ``chunk_dedup`` (C4-style
+       aligned chunks, first occurrence wins) by default, or
+       ``--substr-dedup`` for ExactSubstr sliding-window dedup
+       (arXiv:2107.06499 — catches duplicated blocks no chunk boundary
+       aligns with; ~2x the shuffle volume, see operators/curation);
     5. ``repetition_stats`` + ``token_entropy`` on the written curated
        text — stored as ``curation_stats`` for downstream threshold sweeps
        (signals, not filters: a re-run with new thresholds re-reads the
@@ -53,6 +57,9 @@ def main() -> None:
     ap.add_argument("--chunk-words", type=int, default=10)
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--dedup-lines", action="store_true")
+    ap.add_argument("--substr-dedup", action="store_true",
+                    help="ExactSubstr sliding-window dedup instead of chunk_dedup")
+    ap.add_argument("--substr-words", type=int, default=20)
     args = ap.parse_args()
 
     # imports resolve from the --py-files zip on executors
@@ -62,6 +69,7 @@ def main() -> None:
     from ocr_spark.operators.curation import (
         chunk_dedup,
         dedup_lines,
+        exact_substring_dedup,
         gopher_quality,
         redact_pii,
         repetition_stats,
@@ -93,7 +101,11 @@ def main() -> None:
         # pipeline (repartition + explode + two aggregations) runs twice
         kept = dedup_lines(kept).select("doc_id", "text").localCheckpoint()
 
-    catalog.write(chunk_dedup(kept, chunk_words=args.chunk_words), "curated")
+    if args.substr_dedup:
+        deduped = exact_substring_dedup(kept, min_words=args.substr_words)
+    else:
+        deduped = chunk_dedup(kept, chunk_words=args.chunk_words)
+    catalog.write(deduped, "curated")
 
     texts = catalog.read("curated").select("doc_id", "text")
     stats = repetition_stats(texts).join(

@@ -51,7 +51,9 @@ __all__ = [
     "dedup_lines",
     "unigram_lm",
     "lm_cross_entropy",
+    "perplexity_buckets",
     "chunk_dedup",
+    "exact_substring_dedup",
     "pii_counts",
     "redact_pii",
     "DEFAULT_STOPWORDS",
@@ -707,6 +709,147 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b0\d{1,4}-\d{1,4}-\d{3,4}\b", "<PHONE>"),
 )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 §4.1): remove every
+    ``min_words``-word span whose text appears verbatim ANYWHERE else in
+    the corpus. Unlike :func:`chunk_dedup` (fixed aligned chunks), the
+    match window SLIDES — overlapping duplicated windows union into
+    maximal removed spans, so a 200-word boilerplate block shared by two
+    docs disappears wholesale even though no chunk boundary aligns.
+
+    ``keep_first=True`` (default) spares the lexicographically first
+    occurrence ``min(struct(doc, pos))`` of each duplicated window (the
+    corpus keeps one copy of everything); ``False`` removes all
+    occurrences (the paper tool's default — repeated text is presumed
+    boilerplate). Returns ``(id_col, text_col, n_words, n_removed,
+    n_dup_spans)`` with every input doc exactly once; an untouched doc
+    keeps its ORIGINAL text byte-for-byte (only rebuilt docs are re-joined
+    with single spaces, the family's convention).
+
+    Scale (the suffix-array of the paper is a single-machine design; this
+    is the shuffle-native equivalent):
+
+    * **Window keys are two independent 64-bit hashes**, not window text:
+      ``xxhash64`` chained over the k words (length-framed — no concat
+      ambiguity) under two salts. The count shuffle carries 16-byte keys
+      instead of k-word strings (~20x less volume at k=20); a pair
+      collision at 10^12 windows has probability ~1e-15, vs ~1e4 EXPECTED
+      single-hash collisions at that scale — this is what makes hashed
+      ExactSubstr safe where single-xxhash would silently weld documents.
+    * **First-occurrence keeper is a min-struct AGGREGATION** keyed on the
+      hash pair (map-side combined), never a window over the key — the
+      chunk_dedup skew lesson: duplicate mass is exactly where a
+      value-keyed window would land it.
+    * The hash-pair join back feeds only the MATCHED stream (duplicated
+      occurrences, selective by design) into the doc-keyed regroup.
+    * **The rebuild is row-local**: sorted starts fold into merged
+      ``[s, e)`` intervals (equal window lengths make the fold exact), and
+      the kept text is the gap slices of the materialized words array —
+      no per-word explode, no doc-partitioned window.
+    * The gram build is O(words x k) element hashing on the PINNED frame
+      (REPARTITION_BY_NUM before the explode — AQE sizes by pre-explosion
+      bytes); a rolling polynomial hash would make it O(words) but k<=100
+      keeps the constant irrelevant next to the two stream shuffles.
+    """
+    if min_words < 2:
+        raise ValueError("min_words must be >= 2")
+    k = int(min_words)
+    pinned = docs.repartition(_pinned_partitions(docs), id_col)
+    base = pinned.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        words_column(text_col).alias("words"),
+    )
+
+    def _win_hash(salt: int, i: Column) -> Column:
+        return F.xxhash64(
+            F.lit(salt), *[F.element_at(F.col("words"), i + j) for j in range(k)]
+        )
+
+    n_wins = F.size("words") - (k - 1)
+    # sequence(1, 0) steps DOWNWARD — guard short docs explicitly
+    idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: F.struct(_win_hash(1, i).alias("h1"), _win_hash(2, i).alias("h2"))
+    )
+    stream = (
+        base.select("_id", hashes.alias("hs"))
+        .select("_id", F.posexplode_outer("hs").alias("pos", "h"))
+        .filter(F.col("h").isNotNull())
+        .select("_id", "pos", "h.h1", "h.h2")
+    )
+    winners = (
+        stream.groupBy("h1", "h2")
+        .agg(F.count("*").alias("__c"), F.min(F.struct("_id", "pos")).alias("w"))
+        .filter(F.col("__c") >= 2)
+    )
+    matched = stream.join(winners, ["h1", "h2"])
+    if keep_first:
+        matched = matched.filter(
+            ~((F.col("_id") == F.col("w._id")) & (F.col("pos") == F.col("w.pos")))
+        )
+    starts = matched.groupBy("_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("starts")
+    )
+
+    empty_iv = F.array().cast("array<struct<s:int,e:int>>")
+    # equal-length windows: sorted starts mean p+k >= last.e always, so the
+    # fold's merge branch just extends e to p+k (p == last.e merges the
+    # adjacent span — same removal set)
+    intervals = F.aggregate(
+        F.col("starts"),
+        empty_iv,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + k).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(p.cast("int").alias("s"), (p + k).cast("int").alias("e"))),
+            )
+        ),
+    )
+    joined = base.join(starts, "_id", "left").select(
+        "_id", "_text", "words", F.coalesce(intervals, empty_iv).alias("ivs")
+    )
+    n = F.size("words")
+    gap_s = F.concat(F.array(F.lit(0)), F.transform("ivs", lambda x: x["e"]))
+    gap_e = F.concat(F.transform("ivs", lambda x: x["s"]), F.array(n))
+    kept = F.flatten(
+        F.zip_with(gap_s, gap_e, lambda g0, g1: F.slice("words", g0 + 1, g1 - g0))
+    )
+    rebuilt = F.when(F.size("ivs") == 0, F.col("_text")).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    n_removed = F.aggregate(
+        "ivs", F.lit(0), lambda acc, x: acc + (x["e"] - x["s"])
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        rebuilt.alias(text_col),
+        n.cast("long").alias("n_words"),
+        n_removed.cast("long").alias("n_removed"),
+        F.size("ivs").cast("long").alias("n_dup_spans"),
+    )
 
 
 def pii_counts(text_col: Column | str) -> dict[str, Column]:

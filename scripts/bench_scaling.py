@@ -32,6 +32,7 @@ from ocr_spark.operators.extract import extract_docs, render_markdown
 from ocr_spark.operators.curation import (
     chunk_dedup,
     dedup_lines,
+    exact_substring_dedup,
     lm_cross_entropy,
     repetition_stats,
     top_ngrams,
@@ -175,6 +176,12 @@ JOBS = {{
     # corpus): count + broadcast-back join + ROW-LOCAL keep decision — the
     # no-window scale path under exactly the skew it exists for
     "urlcap": lambda: domain_cap(_skewed_urls(), cap=1000, seed=11),
+    # ExactSubstr sliding-window dedup: the family's heaviest shuffle pair
+    # (full 16-byte-keyed window stream into the keeper aggregation AND the
+    # join back), k=20 windows over the rendered text
+    "substrdedup": lambda: exact_substring_dedup(
+        spark.read.parquet(corpus + "_text"), min_words=20
+    ),
     # DSIR end to end: two corpus-wide hashed-gram fit aggregations
     # (model-sized shuffles) + the broadcast-llr scoring join over the raw
     # pool (the classify joined shape), 2^16 buckets, unigram+bigram
@@ -241,6 +248,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "classify": 1024 * 1024,
                "urlcap": 1024 * 1024,
                "dsir": 1024 * 1024,
+               "substrdedup": 1024 * 1024,
                # qemb again: wide rows, scan feeds the Arrow assign UDF
                "semdedup": 4 * 1024 * 1024,
                # qemb rows are wide (float + int8 vector per doc): 4 MiB
@@ -283,6 +291,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   "semdedup": 4 * 1024 * 1024,
                   "urlcap": 4 * 1024 * 1024,
                   "dsir": 4 * 1024 * 1024,
+                  "substrdedup": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
                   "layout": 16 * 1024 * 1024}}
@@ -404,7 +413,7 @@ def main() -> None:
 
     if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
               "deduplines", "lmquality", "packseq", "classify",
-              "urlcap", "dsir"} and not os.path.exists(
+              "urlcap", "dsir", "substrdedup"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -452,7 +461,7 @@ def main() -> None:
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
                   "lmquality", "packseq", "quantized", "classify",
-                  "semdedup", "urlcap", "dsir")
+                  "semdedup", "urlcap", "dsir", "substrdedup")
         if j in low and j in high
     ]
     job_eff = {
@@ -492,6 +501,7 @@ def main() -> None:
         "semdedup": "SemDeDup (BLAS assign, cell-local cosine pairs)",
         "urlcap": "domain share cap (row-local thinning under 80% skew)",
         "dsir": "DSIR importance scoring (2-corpus fit + broadcast-llr join)",
+        "substrdedup": "ExactSubstr dedup (dual-hash window keeper + rebuild)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the

@@ -266,6 +266,45 @@ def test_curate_job_end_to_end(spark, tmp_path, monkeypatch):
     assert set(stats) == {0, 1, 3} and stats[0]["entropy"] > 0
 
 
+def test_curate_job_substr_dedup_mode(spark, tmp_path, monkeypatch):
+    """--substr-dedup swaps the cross-document stage for ExactSubstr:
+    doc 1's copy of the shared block is removed as ONE maximal span even
+    though no chunk boundary aligns (it sits at a 3-word offset)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    good = (
+        "the quick brown fox jumps with many of the fine dogs and cats "
+        "that have fur and the story goes on and on about the fine dogs"
+    )
+    rows = [
+        (0, good),
+        (1, "a few offset words " + good),
+        (2, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    cat = str(tmp_path / "catalog")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["curate_job.py", "--input", inp, "--catalog", cat,
+         "--min-words", "10", "--substr-dedup", "--substr-words", "6"],
+    )
+    curate_job.main()
+
+    curated = {r["doc_id"]: r for r in spark.read.parquet(f"{cat}/curated").collect()}
+    assert set(curated) == {0, 1}
+    assert curated[0]["text"] == good
+    assert curated[1]["text"] == "a few offset words"
+    assert curated[1]["n_dup_spans"] == 1
+    assert curated[1]["n_removed"] == len(good.split())
+
+
 def test_unigram_lm_rejects_zero_add_k(spark):
     """add_k=0 is a plausible 'no smoothing' request, but the unseen-word
     contract log(k/denom) is undefined there — it must raise a clear
@@ -427,3 +466,139 @@ def test_perplexity_buckets_validation(spark):
         perplexity_buckets(scored, thresholds=(1.0,), labels=("a", "b", "c"))
     with _pytest.raises(ValueError):
         perplexity_buckets(scored, thresholds=(2.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+def _py_exact_substr(rows, k, keep_first=True):
+    """Reference implementation: window text keyed directly (no hashing)."""
+    words = {d: (t or "").split() for d, t in rows}
+    occs = {}
+    for d, ws in sorted(words.items()):
+        for p in range(len(ws) - k + 1):
+            occs.setdefault(" ".join(ws[p : p + k]), []).append((d, p))
+    removed = {d: set() for d in words}
+    for posns in occs.values():
+        if len(posns) < 2:
+            continue
+        keeper = min(posns)
+        for d, p in posns:
+            if keep_first and (d, p) == keeper:
+                continue
+            removed[d].update(range(p, p + k))
+    out = {}
+    for d, t in rows:
+        ws, rem = words[d], removed[d]
+        kept = [w for i, w in enumerate(ws) if i not in rem]
+        # span count = maximal runs of removed indices
+        spans = sum(
+            1 for i in sorted(rem) if i - 1 not in rem
+        )
+        out[d] = (
+            t if not rem else " ".join(kept),
+            len(ws),
+            len(rem),
+            spans,
+        )
+    return out
+
+
+def test_exact_substring_dedup_matches_python_oracle(spark):
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro one two {shared} outro A"),
+        (2, f"different start {shared} and a different end"),
+        (3, "no duplication here at all whatsoever truly"),
+        (4, f"{shared} {shared} internal repeat tail"),
+        (5, ""),
+        (6, None),
+        (7, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_removed"], r["n_dup_spans"])
+        for r in exact_substring_dedup(docs, min_words=4).collect()
+    }
+    want = _py_exact_substr([(d, t) for d, t in rows], 4)
+    assert got == want
+    # doc 1 (lexicographically first occurrences) keeps its text verbatim
+    assert got[1][0] == rows[0][1]
+    assert got[1][2] == 0
+    # doc 2 lost the shared block
+    assert shared not in got[2][0]
+    assert got[3] == (rows[2][1], 7, 0, 0)
+
+
+def test_exact_substring_dedup_remove_all(spark):
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    rows = [(1, "a b c d tail one"), (2, "a b c d tail two")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in exact_substring_dedup(docs, min_words=4, keep_first=False).collect()
+    }
+    want = _py_exact_substr(rows, 4, keep_first=False)
+    assert got == {d: (t, nr) for d, (t, _, nr, _) in want.items()}
+    # BOTH occurrences of the shared 5-word prefix are gone
+    assert got[1][0] == "one" and got[2][0] == "two"
+
+
+def test_exact_substring_dedup_overlap_merges_to_one_span(spark):
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    # the shared run is 6 words, window 4: three overlapping windows in
+    # doc 2 must union into ONE maximal removed span
+    rows = [
+        (1, "p q r s t u one"),
+        (2, "two p q r s t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"], r["n_dup_spans"])
+        for r in exact_substring_dedup(docs, min_words=4).collect()
+    }
+    assert got[1] == ("p q r s t u one", 0, 0)
+    assert got[2] == ("two", 6, 1)
+
+
+def test_exact_substring_dedup_untouched_doc_keeps_exact_whitespace(spark):
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    rows = [(1, "  weird\t spacing \n preserved here ok  ")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = exact_substring_dedup(docs, min_words=3).collect()[0]
+    assert got["text"] == rows[0][1]
+
+
+def test_exact_substring_dedup_plan_shape(spark):
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    docs = spark.range(300).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("w" ), (F.col("id") % 7).cast("string"),
+            F.lit(" common block of words here tail "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(docs, min_words=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # keeper selection is an aggregation, never a window over the key
+    assert "Window" not in plan
+    # no global sort anywhere (interval merge is a row-local fold)
+    assert "Exchange rangepartitioning" not in plan
+    out.write.format("noop").mode("overwrite").save()
+
+
+def test_exact_substring_dedup_validation(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.curation import exact_substring_dedup
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        exact_substring_dedup(docs, min_words=1)

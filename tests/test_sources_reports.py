@@ -419,3 +419,97 @@ def test_table_name_rejects_path_escape(spark, tmp_path):
             with pytest.raises(ValueError):
                 fn()
     assert cat.path("__snapshots__/scores/v1").endswith("__snapshots__/scores/v1")
+
+
+# ------------------------------------------------------------------ WET/WARC
+
+WET_SAMPLE = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    "Content-Length: 10\r\n"
+    "\r\n"
+    "isPartOf: CC-MAIN\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: http://example.com/a\r\n"
+    "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+    "Content-Length: 22\r\n"
+    "\r\n"
+    "First doc line one.\nLine two.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: http://example.org/b\r\n"
+    "WARC-Date: 2024-01-02T03:04:06Z\r\n"
+    "Content-Length: 11\r\n"
+    "\r\n"
+    "Second doc.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "garbage record with no header block"
+)
+
+
+def test_read_wet_keeps_conversion_records(spark, tmp_path):
+    from ocr_spark.sources.warc import read_wet
+
+    p = tmp_path / "sample.warc.wet"
+    p.write_text(WET_SAMPLE)
+    out = read_wet(spark, str(p)).orderBy("url").collect()
+    assert [r["url"] for r in out] == ["http://example.com/a", "http://example.org/b"]
+    assert out[0]["text"] == "First doc line one.\nLine two."
+    assert out[1]["text"] == "Second doc."
+    assert out[0]["content_length"] == 22
+    assert out[0]["warc_date"] == "2024-01-02T03:04:05Z"
+    # ids are stable content hashes, not layout-dependent counters
+    ids = {r["doc_id"] for r in out}
+    assert len(ids) == 2 and all(i is not None for i in ids)
+    again = {r["doc_id"] for r in read_wet(spark, str(p)).collect()}
+    assert again == ids
+
+
+def test_read_wet_gzip_member(spark, tmp_path):
+    import gzip
+
+    from ocr_spark.sources.warc import read_wet
+
+    p = tmp_path / "sample.warc.wet.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(WET_SAMPLE)
+    out = read_wet(spark, str(p)).orderBy("url").collect()
+    assert [r["url"] for r in out] == ["http://example.com/a", "http://example.org/b"]
+
+
+def test_read_wet_keep_all_records_isolates_malformed(spark, tmp_path):
+    from ocr_spark.sources.warc import read_wet
+
+    p = tmp_path / "sample.warc.wet"
+    p.write_text(WET_SAMPLE)
+    rec = read_wet(spark, str(p), keep_all_records=True).collect()
+    types = sorted((r["record_type"] or "?") for r in rec if r["_raw"].strip())
+    # warcinfo + 2 conversions + the garbage record (nulls, not a crash)
+    assert types == ["?", "conversion", "conversion", "warcinfo"]
+    bad = [r for r in rec if r["record_type"] is None and r["_raw"].strip()]
+    assert bad and bad[0]["text"] is None and bad[0]["url"] is None
+
+
+def test_wet_record_columns_lf_only_and_column_reuse(spark):
+    from ocr_spark.sources.warc import wet_record_columns
+
+    chunk = (
+        "\nWARC-Type: conversion\n"
+        "WARC-Target-URI: http://lf.example/x\n"
+        "WARC-Date: 2024-02-03T00:00:00Z\n"
+        "Content-Length: 5\n"
+        "\n"
+        "hello\n\n"
+    )
+    df = spark.createDataFrame([(chunk,)], "value string")
+    cols = wet_record_columns("value")
+    row = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    assert row["url"] == "http://lf.example/x"
+    assert row["record_type"] == "conversion"
+    assert row["text"] == "hello"
+    assert row["content_length"] == 5
