@@ -896,6 +896,65 @@ def q_wet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _langid_inputs(spark: SparkSession, sf_dir: str):
+    """Shared upstream of the two langid gates: three synthetic 'languages'
+    derived deterministically from the documents table (doc_id % 3 —
+    'aa' = raw text, 'bb' = consonant-masked, 'cc' = reversed, each a
+    distinct char-trigram distribution), fit on the doc_id % 5 == 0 slice,
+    score the rest. Every transform is engine-portable (translate /
+    reverse / lower exist verbatim in DuckDB)."""
+    d = F.col("doc_id")
+    t0 = F.coalesce("text", F.lit(""))
+    lang = (
+        F.when(d % 3 == 0, "aa").when(d % 3 == 1, "bb").otherwise("cc")
+    )
+    text = (
+        F.when(d % 3 == 0, t0)
+        .when(d % 3 == 1, F.translate(t0, "etaoins", "XXXXXXX"))
+        .otherwise(F.reverse(t0))
+    )
+    docs = _docs_table(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"), text.alias("text")
+    )
+    fit = docs.filter(d % 5 == 0).select("lang", "text")
+    score = docs.filter(d % 5 != 0).select("doc_id", "text")
+    return fit, score
+
+
+def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, language) naive-Bayes log-scores from the trained hashed
+    char-trigram model (operators/langid, CCNet §4.2's lid stage): 64 md5
+    buckets, add-0.5 smoothing, doc-count priors — every stage replayed
+    bit-for-bit by the oracle."""
+    from ocr_spark.operators.langid import langid_fit, langid_scores
+
+    fit, score = _langid_inputs(spark, sf_dir)
+    model = langid_fit(fit, 64, n=3, seed=9, add_k=0.5)
+    out = langid_scores(score, model, 64, n=3, seed=9)
+    return out.select(
+        "doc_id", "lang", "n_grams", F.round("score", 4).alias("score")
+    ).orderBy("doc_id", "lang")
+
+
+def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax language per document over the q_langid_scores model — a
+    map-side max-struct aggregation (never a window), scores rounded 6dp
+    for the comparison with exact ties breaking to the smallest language
+    in BOTH engines."""
+    from ocr_spark.operators.langid import (
+        langid_fit,
+        langid_predict,
+        langid_scores,
+    )
+
+    fit, score = _langid_inputs(spark, sf_dir)
+    model = langid_fit(fit, 64, n=3, seed=9, add_k=0.5)
+    out = langid_predict(langid_scores(score, model, 64, n=3, seed=9))
+    return out.select(
+        "doc_id", "lang", F.round("score", 4).alias("score")
+    ).orderBy("doc_id")
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized candidate scan + exact rescore (operators/quantize):
     the 4x-smaller-storage ANN path. The oracle recomputes the identical
@@ -1703,6 +1762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # have green r2+r3 driver rows)
         "substr_dedup": q_substr_dedup,
         "wet_parse": q_wet_parse,
+        # r4 late: trained char-trigram language ID (new — inside the
+        # window; winnow_overlap and simhash_dups, rotated past 50 to make
+        # room, have green r2+r3 driver rows)
+        "langid_scores": q_langid_scores,
+        "langid_predict": q_langid_predict,
         # --- structurally important gates kept inside the window ---
         "t6_layout": q_t6_layout,
         "span_reconstruct": q_span_reconstruct,
@@ -3099,6 +3163,82 @@ def oracle_sql() -> dict[str, str]:
         left join stats st using (doc_id)
         left join keptagg ka using (doc_id)
         order by b.doc_id
+    """
+    # Trained char-trigram language ID: the full fit (per-lang bucket
+    # counts over the doc_id%5==0 slice, add-0.5 smoothing over the
+    # closed 64-bucket space, ln doc-count priors) and scoring replayed
+    # exactly; the md5 bucket digit-by-digit (the dsir pattern)
+    _LANGID_COMMON = r"""
+        with docs0 as (
+          select doc_id,
+                 case when doc_id % 3 = 0 then 'aa'
+                      when doc_id % 3 = 1 then 'bb'
+                      else 'cc' end as lang,
+                 lower(case when doc_id % 3 = 0 then coalesce(text, '')
+                            when doc_id % 3 = 1
+                              then translate(coalesce(text, ''), 'etaoins', 'XXXXXXX')
+                            else reverse(coalesce(text, '')) end) as t
+          from documents
+        ),
+        grams as (
+          select doc_id, lang,
+                 unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                        i -> substring(t, cast(i as int), 3))) as g
+          from docs0
+        ),
+        b as (
+          select doc_id, lang,
+                 cast(list_sum(list_transform(range(0, 8), p ->
+                   (strpos('0123456789abcdef',
+                           substring(substring(md5('9|' || g), 1, 8),
+                                     cast(p + 1 as int), 1)) - 1)
+                   * power(16, 7 - p))) as bigint) % 64 as bucket
+          from grams
+        ),
+        tc as (select lang, bucket, count(*) as c
+               from b where doc_id % 5 = 0 group by lang, bucket),
+        tt as (select lang, sum(c) as t from tc group by lang),
+        nd as (select lang, count(*) as nd
+               from docs0 where doc_id % 5 = 0 group by lang),
+        td as (select sum(nd) as td from nd),
+        langs as (select lang, ln(cast(nd as double) / td) as prior
+                  from nd cross join td),
+        model as (
+          select l.lang, d.bucket, l.prior,
+                 ln((coalesce(tc.c, 0) + 0.5) / (tt.t + 0.5 * 64)) as logp
+          from langs l
+          cross join (select cast(range as bigint) as bucket from range(0, 64)) d
+          join tt on tt.lang = l.lang
+          left join tc on tc.lang = l.lang and tc.bucket = d.bucket
+        ),
+        per as (
+          select s.doc_id, m.lang, count(*) as n_grams, sum(m.logp) as ll
+          from (select doc_id, bucket from b where doc_id % 5 <> 0) s
+          join model m using (bucket)
+          group by s.doc_id, m.lang
+        ),
+        scores as (
+          select sd.doc_id, l.lang,
+                 cast(coalesce(p.n_grams, 0) as bigint) as n_grams,
+                 l.prior + coalesce(p.ll, 0.0) as score
+          from (select doc_id from docs0 where doc_id % 5 <> 0) sd
+          cross join langs l
+          left join per p on p.doc_id = sd.doc_id and p.lang = l.lang
+        )
+    """
+    sql["langid_scores"] = _LANGID_COMMON + r"""
+        select doc_id, lang, n_grams, round(score, 4) as score
+        from scores order by doc_id, lang
+    """
+    sql["langid_predict"] = _LANGID_COMMON + r"""
+        , sel as (
+          select doc_id, lang, score,
+                 row_number() over (partition by doc_id
+                                    order by round(score, 6) desc, lang) as rn
+          from scores
+        )
+        select doc_id, lang, round(score, 4) as score
+        from sel where rn = 1 order by doc_id
     """
     # WET parse roundtrip: expected output restated from the planted
     # construction — the identity IS the contract (construct -> parse);

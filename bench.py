@@ -130,9 +130,12 @@ HEADLINE = [
     "dsir_select",
     "url_blocklist",
     "perplexity_buckets",
-    # r4 late: ExactSubstr sliding-window dedup + WET record parsing
+    # r4 late: ExactSubstr sliding-window dedup + WET record parsing +
+    # trained char-trigram language ID
     "substr_dedup",
     "wet_parse",
+    "langid_scores",
+    "langid_predict",
 ]
 
 

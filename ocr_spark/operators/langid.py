@@ -1,0 +1,220 @@
+"""Trainable language identification: hashed char-n-gram naive Bayes.
+
+CCNet's pipeline (Wenzek et al. 2020 §4.2) gates every document through a
+fastText language classifier before dedup and LM filtering; this module is
+that stage's engine-native twin, completing the CCNet triple alongside
+:mod:`ocr_spark.operators.dedup` and ``curation.lm_cross_entropy``. The
+existing :func:`ocr_spark.functions.textstats.detect_language` is a fixed
+two-script heuristic; this one is TRAINED — fit per-language character
+n-gram distributions from any labeled seed corpus, then score and argmax.
+fastText's architecture (char n-gram hash buckets -> linear layer) reduces
+to exactly this under a naive-Bayes objective, so the plan shapes carry
+over to a distilled real model's weights unchanged.
+
+Scale design (the classify/dsir playbook):
+
+* **Features are row-local**: lowercased char n-grams hashed into
+  ``n_buckets`` md5 buckets (engine-portable — the DuckDB oracle replays
+  every bucket digit-by-digit). The n-gram build slides ``Column.substr``
+  over the string — no split, no array materialization beyond the gram
+  list itself.
+* **Fit never moves data**: one map-side-combined ``groupBy(lang,
+  bucket)`` count; the shuffle carries at most ``n_langs x n_buckets``
+  partial rows per task, and the fitted model is model-sized by
+  construction. Smoothing is add-k over the CLOSED bucket space (hashing
+  makes the vocabulary finite — the dsir argument), plus a doc-count
+  class prior.
+* **Scoring is the pinned-join shape**: REPARTITION_BY_NUM on the doc id
+  before the gram explode, broadcast model join on ``bucket`` (fans each
+  feature out to ``n_langs`` rows — bounded by the language inventory,
+  ~10-200 at web scale), then per-(doc, lang) and per-doc aggregations
+  that BOTH reuse the pinned HashPartitioning (their keys contain the
+  id) — the exploded stream never shuffles.
+* **Argmax is an aggregation**, never a window: ``max(struct(score,
+  ...))`` with the score rounded to ``tie_dp`` decimals first and ties
+  broken by language id ascending — float-sum order across engines (or
+  partitionings) must not flip the winner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.classify import word_bucket
+from ocr_spark.operators.curation import _pinned_partitions
+
+__all__ = [
+    "char_gram_buckets",
+    "langid_fit",
+    "langid_scores",
+    "langid_predict",
+]
+
+
+def char_gram_buckets(
+    text_col: Column | str, n_buckets: int, n: int = 3, seed: int = 0
+) -> Column:
+    """Array of hash buckets of the lowercased char ``n``-grams of a text
+    column (null text -> empty array). The input expression is referenced
+    from a per-gram lambda, so pass a PLAIN COLUMN (attribute), not an
+    expensive expression — Catalyst re-inlines outer-scope expressions
+    into lambda bodies (no CSE; the word_shingles lesson). The fit/score
+    paths materialize the lowered text first (:func:`_gram_stream`)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.lower(F.coalesce(c, F.lit("")))
+    return _grams_of(t, n_buckets, n, seed)
+
+
+def _grams_of(t: Column, n_buckets: int, n: int, seed: int) -> Column:
+    count = F.length(t) - (n - 1)
+    # sequence(1, 0) steps DOWNWARD — guard short texts explicitly
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: word_bucket(t.substr(i, F.lit(n)), n_buckets, seed))
+
+
+def _gram_stream(
+    docs: DataFrame,
+    n_buckets: int,
+    n: int,
+    seed: int,
+    text_col: str,
+    id_cols: tuple[str, ...],
+) -> DataFrame:
+    # materialize the lowered text as a REAL column before the gram
+    # lambda touches it: an inline lower(coalesce(...)) would be
+    # re-inlined into the lambda body and recopied per gram (O(len^2))
+    prepared = docs.select(
+        *id_cols, F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
+    )
+    grams = _grams_of(F.col("__t"), n_buckets, n, seed)
+    return (
+        prepared.select(*id_cols, grams.alias("__bs"))
+        .select(*id_cols, F.explode_outer("__bs").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+
+
+def langid_fit(
+    labeled: DataFrame,
+    n_buckets: int,
+    n: int = 3,
+    seed: int = 0,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Fit the per-language model from ``(lang, text)`` rows: one row per
+    ``(lang, bucket)`` over the FULL dense bucket range with
+    ``logp = log (c + k) / (total_lang + k*n_buckets)`` plus a per-lang
+    ``prior = log (docs_lang / docs_total)``. Model-sized (``n_langs x
+    n_buckets`` rows) by construction; localCheckpoint'd because it is
+    about to be broadcast and re-deriving it per action would re-scan the
+    seed corpus."""
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (smoothing over a closed space)")
+    spark = labeled.sparkSession
+    stream = _gram_stream(labeled, n_buckets, n, seed, text_col, (lang_col,))
+    counts = stream.groupBy(lang_col, "bucket").agg(F.count("*").alias("__c"))
+    # per-language totals + doc-count priors: model-sized aggregations
+    totals = counts.groupBy(lang_col).agg(F.sum("__c").alias("__t"))
+    ndocs = labeled.groupBy(lang_col).agg(F.count("*").alias("__nd"))
+    priors = ndocs.crossJoin(ndocs.agg(F.sum("__nd").alias("__td"))).select(
+        lang_col, F.log(F.col("__nd") / F.col("__td")).alias("prior")
+    )
+    dense = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    grid = priors.join(totals, lang_col).crossJoin(dense)
+    model = (
+        grid.join(counts, [lang_col, "bucket"], "left")
+        .select(
+            lang_col,
+            "bucket",
+            "prior",
+            F.log(
+                (F.coalesce("__c", F.lit(0)) + F.lit(float(add_k)))
+                / (F.col("__t") + F.lit(float(add_k) * n_buckets))
+            ).alias("logp"),
+        )
+        .localCheckpoint()
+    )
+    return model
+
+
+def langid_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    n_buckets: int,
+    n: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-(doc, language) naive-Bayes log-score: ``(id_col, lang,
+    n_grams, score)`` where ``score = prior + sum logp(bucket)`` over the
+    doc's gram occurrences. Every document scores every language
+    (featureless docs score the bare priors). Plan: pinned doc
+    repartition -> row-local gram explode -> broadcast model join -> two
+    aggregations that reuse the pinned HashPartitioning."""
+    pinned = docs.repartition(_pinned_partitions(docs), id_col)
+    stream = _gram_stream(pinned, n_buckets, n, seed, text_col, (id_col,))
+    per_lang = (
+        stream.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("logp").alias("__ll"),
+        )
+    )
+    langs = F.broadcast(model.select(lang_col, "prior").distinct())
+    base = pinned.select(id_col).crossJoin(langs)
+    return (
+        base.join(per_lang, [id_col, lang_col], "left")
+        .select(
+            id_col,
+            lang_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            (F.col("prior") + F.coalesce("__ll", F.lit(0.0))).alias("score"),
+        )
+    )
+
+
+def langid_predict(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    tie_dp: int = 6,
+) -> DataFrame:
+    """Argmax over :func:`langid_scores` output: ``(id_col, lang,
+    score)`` with the winning language per doc. One map-side-combined
+    ``max(struct(...))`` aggregation — never a window. The score is
+    rounded to ``tie_dp`` decimals for the comparison (float-sum order
+    must not pick the winner) and exact ties break to the
+    lexicographically SMALLEST language, deterministically in any engine:
+    the struct max takes the reversed-byte language key."""
+    # min(struct(-rounded_score, lang, raw)): the negated score makes the
+    # struct-min pick the LARGEST score, and on exact rounded ties the
+    # second field breaks to the smallest language — no window, one
+    # map-side-combined aggregation
+    pick = F.min(
+        F.struct(
+            (-F.round("score", tie_dp)).alias("ns"),
+            F.col(lang_col).alias("l"),
+            F.col("score").alias("s"),
+        )
+    ).alias("w")
+    return (
+        scores.groupBy(id_col)
+        .agg(pick)
+        .select(
+            id_col,
+            F.col("w.l").alias(lang_col),
+            F.col("w.s").alias("score"),
+        )
+    )

@@ -46,6 +46,7 @@ from ocr_spark.operators.classify import classifier_score_joined
 from ocr_spark.operators.cluster import semdedup
 from ocr_spark.operators.quantize import topk_similar_quantized
 from ocr_spark.operators.dsir import dsir_log_ratios, dsir_score
+from ocr_spark.operators.langid import langid_fit, langid_predict, langid_scores
 from ocr_spark.operators.web import domain_cap
 from ocr_spark.operators.similarity import ann_topk_per_query
 from pyspark.sql import functions as F
@@ -182,6 +183,12 @@ JOBS = {{
     "substrdedup": lambda: exact_substring_dedup(
         spark.read.parquet(corpus + "_text"), min_words=20
     ),
+    # trained language ID end to end: model fit on a ~3% slice (three
+    # synthetic char-distributions over the rendered text), then the
+    # broadcast-model score join + argmax aggregation over the rest —
+    # the heaviest per-char row-local work in the repo (one md5 per
+    # char trigram) feeding a 3x gram-stream fan-out
+    "langid": lambda: _langid_job(),
     # DSIR end to end: two corpus-wide hashed-gram fit aggregations
     # (model-sized shuffles) + the broadcast-llr scoring join over the raw
     # pool (the classify joined shape), 2^16 buckets, unigram+bigram
@@ -228,6 +235,22 @@ def _lm_quality_job():
     lm, unseen = unigram_lm(texts)
     return lm_cross_entropy(texts, lm, unseen_logp=unseen)
 
+def _langid_job():
+    texts = spark.read.parquet(corpus + "_text")
+    d = F.col("doc_id")
+    cls = F.pmod(F.xxhash64(d), F.lit(3))
+    t0 = F.coalesce("text", F.lit(""))
+    lang = F.when(cls == 0, "aa").when(cls == 1, "bb").otherwise("cc")
+    text = (F.when(cls == 0, t0)
+             .when(cls == 1, F.translate(t0, "etaoins", "XXXXXXX"))
+             .otherwise(F.reverse(t0)))
+    docs2 = texts.select("doc_id", lang.alias("lang"), text.alias("text"))
+    is_fit = F.pmod(F.xxhash64(d), F.lit(37)) == 0
+    fit = docs2.filter(is_fit).select("lang", "text")
+    score = docs2.filter(~is_fit).select("doc_id", "text")
+    model = langid_fit(fit, 1 << 14, n=3, seed=2)
+    return langid_predict(langid_scores(score, model, 1 << 14, n=3, seed=2))
+
 def _dsir_job():
     texts = spark.read.parquet(corpus + "_text")
     is_target = F.pmod(F.xxhash64("doc_id"), F.lit(37)) == 0
@@ -248,6 +271,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "classify": 1024 * 1024,
                "urlcap": 1024 * 1024,
                "dsir": 1024 * 1024,
+               "langid": 1024 * 1024,
                "substrdedup": 1024 * 1024,
                # qemb again: wide rows, scan feeds the Arrow assign UDF
                "semdedup": 4 * 1024 * 1024,
@@ -291,6 +315,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   "semdedup": 4 * 1024 * 1024,
                   "urlcap": 4 * 1024 * 1024,
                   "dsir": 4 * 1024 * 1024,
+                  "langid": 4 * 1024 * 1024,
                   "substrdedup": 4 * 1024 * 1024,
                   # same artifact on W2's (doc, column) token shuffle:
                   # 23.2 -> 17.9 s at 8 cores when split 16 MB
@@ -373,6 +398,13 @@ def main() -> None:
     sel = set(_sel.split(",")) if _sel else {
         "extract", "dedup", "ann", "boilerplate", "layout", "simhash"
     }
+    # The worker filters its JOBS dict from this env var: when the caller
+    # left it unset, pass the DEFAULT selection down explicitly — otherwise
+    # the worker would run every registered leg, including ones whose
+    # derived inputs (_qemb, _text, ...) the parent only materializes for
+    # the selected set (observed: a default run crashed at the quantized
+    # leg's missing 120k _qemb AFTER timing six legs).
+    os.environ["SPARK_GRAFT_SCALE_JOBS"] = ",".join(sorted(sel))
 
     if sel & {"boilerplate", "layout"} and not os.path.exists(
         os.path.join(corpus + "_tokens", "_SUCCESS")
@@ -413,7 +445,7 @@ def main() -> None:
 
     if sel & {"simhash", "chunkdedup", "repetition", "decon", "topngrams",
               "deduplines", "lmquality", "packseq", "classify",
-              "urlcap", "dsir", "substrdedup"} and not os.path.exists(
+              "urlcap", "dsir", "substrdedup", "langid"} and not os.path.exists(
         os.path.join(corpus + "_text", "_SUCCESS")
     ):
         # rendered-text input for the isolated simhash job (same doc_id/text
@@ -461,7 +493,7 @@ def main() -> None:
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
                   "lmquality", "packseq", "quantized", "classify",
-                  "semdedup", "urlcap", "dsir", "substrdedup")
+                  "semdedup", "urlcap", "dsir", "substrdedup", "langid")
         if j in low and j in high
     ]
     job_eff = {
@@ -502,6 +534,7 @@ def main() -> None:
         "urlcap": "domain share cap (row-local thinning under 80% skew)",
         "dsir": "DSIR importance scoring (2-corpus fit + broadcast-llr join)",
         "substrdedup": "ExactSubstr dedup (dual-hash window keeper + rebuild)",
+        "langid": "trained language ID (char-trigram NB, broadcast model)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the

@@ -1,0 +1,176 @@
+"""Trainable hashed char-n-gram language ID (operators/langid)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.langid import (
+    char_gram_buckets,
+    langid_fit,
+    langid_predict,
+    langid_scores,
+)
+
+SEED_DOCS = [
+    ("en", "the quick brown fox jumps over the lazy dog again and again"),
+    ("en", "a theory of prime numbers and other fine things to read"),
+    ("xx", "zxqzx vxwvx kxqkx zxqzx wxvwx qxzqx kxwkx zxqzx"),
+    ("xx", "qxzqx wxvwx zxqzx kxqkx vxwvx zxqzx"),
+]
+
+SCORE_DOCS = [
+    (1, "the brown fox and the fine dog read things"),
+    (2, "zxqzx wxvwx kxqkx qxzqx zxqzx"),
+    (3, ""),
+    (4, None),
+]
+
+
+def _py_bucket(gram, n_buckets, seed):
+    return int(hashlib.md5(f"{seed}|{gram}".encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _py_grams(text, n):
+    t = (text or "").lower()
+    return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+
+def _py_model(rows, n_buckets, n, seed, add_k):
+    langs = sorted({l for l, _ in rows})
+    counts = {l: [0] * n_buckets for l in langs}
+    nd = {l: 0 for l in langs}
+    for l, t in rows:
+        nd[l] += 1
+        for g in _py_grams(t, n):
+            counts[l][_py_bucket(g, n_buckets, seed)] += 1
+    td = sum(nd.values())
+    model = {}
+    for l in langs:
+        tot = sum(counts[l])
+        prior = math.log(nd[l] / td)
+        model[l] = (
+            prior,
+            [
+                math.log((c + add_k) / (tot + add_k * n_buckets))
+                for c in counts[l]
+            ],
+        )
+    return model
+
+
+def _py_score(text, model, n_buckets, n, seed):
+    out = {}
+    for l, (prior, logp) in model.items():
+        s = prior
+        for g in _py_grams(text, n):
+            s += logp[_py_bucket(g, n_buckets, seed)]
+        out[l] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def seed_df(spark):
+    return spark.createDataFrame(SEED_DOCS, "lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def score_df(spark):
+    return spark.createDataFrame(SCORE_DOCS, "doc_id int, text string")
+
+
+def test_char_gram_buckets_match_python(spark, score_df):
+    got = {
+        r["doc_id"]: r["bs"]
+        for r in score_df.select(
+            "doc_id", char_gram_buckets("text", 32, n=3, seed=5).alias("bs")
+        ).collect()
+    }
+    for doc_id, text in SCORE_DOCS:
+        assert got[doc_id] == [
+            _py_bucket(g, 32, 5) for g in _py_grams(text, 3)
+        ]
+
+
+def test_fit_matches_python(spark, seed_df):
+    model = langid_fit(seed_df, 32, n=3, seed=5, add_k=0.5)
+    rows = model.collect()
+    assert len(rows) == 2 * 32  # dense grid: every (lang, bucket)
+    want = _py_model(SEED_DOCS, 32, 3, 5, 0.5)
+    for r in rows:
+        prior, logp = want[r["lang"]]
+        assert r["prior"] == pytest.approx(prior, abs=1e-12)
+        assert r["logp"] == pytest.approx(logp[r["bucket"]], abs=1e-12)
+
+
+def test_scores_match_python_and_separate_langs(spark, seed_df, score_df):
+    model = langid_fit(seed_df, 32, n=3, seed=5)
+    scores = langid_scores(score_df, model, 32, n=3, seed=5)
+    got = {
+        (r["doc_id"], r["lang"]): (r["n_grams"], r["score"])
+        for r in scores.collect()
+    }
+    want_model = _py_model(SEED_DOCS, 32, 3, 5, 0.5)
+    assert set(got) == {(d, l) for d, _ in SCORE_DOCS for l in ("en", "xx")}
+    for doc_id, text in SCORE_DOCS:
+        ws = _py_score(text or "", want_model, 32, 3, 5)
+        for lang in ("en", "xx"):
+            n_grams, score = got[(doc_id, lang)]
+            assert n_grams == len(_py_grams(text, 3))
+            assert score == pytest.approx(ws[lang], abs=1e-9)
+    # the english-ish doc scores en > xx; the synthetic one the reverse
+    assert got[(1, "en")][1] > got[(1, "xx")][1]
+    assert got[(2, "xx")][1] > got[(2, "en")][1]
+
+
+def test_predict_argmax_and_tiebreak(spark, seed_df, score_df):
+    model = langid_fit(seed_df, 32, n=3, seed=5)
+    scores = langid_scores(score_df, model, 32, n=3, seed=5)
+    got = {r["doc_id"]: r["lang"] for r in langid_predict(scores).collect()}
+    assert got[1] == "en" and got[2] == "xx"
+    # featureless docs tie on the bare priors: both langs have 2 seed docs
+    # -> equal priors -> deterministic smallest-language tiebreak
+    assert got[3] == "en" and got[4] == "en"
+
+
+def test_predict_is_layout_independent(spark, seed_df, score_df):
+    model = langid_fit(seed_df, 32, n=3, seed=5)
+    a = sorted(
+        (r["doc_id"], r["lang"])
+        for r in langid_predict(
+            langid_scores(score_df, model, 32, n=3, seed=5)
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["lang"])
+        for r in langid_predict(
+            langid_scores(score_df.repartition(7), model, 32, n=3, seed=5)
+        ).collect()
+    )
+    assert a == b
+
+
+def test_score_plan_shape(spark, seed_df, score_df):
+    """Broadcast model join; the only keyed exchanges are on the doc id
+    (the pinned repartition) — the gram stream never shuffles on bucket —
+    and argmax is an aggregation, not a window."""
+    import re
+
+    model = langid_fit(seed_df, 32, n=3, seed=5)
+    out = langid_predict(langid_scores(score_df, model, 32, n=3, seed=5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    keyed = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("doc_id" in ln for ln in keyed), plan[:2000]
+    assert not re.search(r"Exchange hashpartitioning\(bucket", plan)
+
+
+def test_validation(spark, seed_df):
+    with pytest.raises(ValueError):
+        char_gram_buckets("text", 8, n=0)
+    with pytest.raises(ValueError):
+        langid_fit(seed_df, 8, add_k=0.0)
