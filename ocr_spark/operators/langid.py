@@ -160,29 +160,49 @@ def langid_scores(
     n_grams, score)`` where ``score = prior + sum logp(bucket)`` over the
     doc's gram occurrences. Every document scores every language
     (featureless docs score the bare priors). Plan: pinned doc
-    repartition -> row-local gram explode -> broadcast model join -> two
-    aggregations that reuse the pinned HashPartitioning."""
+    repartition -> row-local gram explode -> broadcast model join -> ONE
+    (id, lang) aggregation that reuses the pinned HashPartitioning
+    (every gram matches every language in the dense model, so any doc
+    with >=1 gram already has all language rows) -> broadcast prior join.
+    Featureless docs are detected by a row-local length test — never an
+    anti/outer join back onto the corpus (a (doc, lang)-keyed join would
+    re-shuffle BOTH sides: EnsureRequirements co-partitions sort-merge
+    children on the full key set even when each side is id-clustered).
+    The priors come from the model's bucket-0 slice — a filter, not a
+    distinct (a distinct would add a model-sized but key-foreign
+    exchange)."""
     pinned = docs.repartition(_pinned_partitions(docs), id_col)
     stream = _gram_stream(pinned, n_buckets, n, seed, text_col, (id_col,))
     per_lang = (
-        stream.join(F.broadcast(model), "bucket")
+        stream.join(F.broadcast(model.select(lang_col, "bucket", "logp")), "bucket")
         .groupBy(id_col, lang_col)
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.sum("logp").alias("__ll"),
         )
     )
-    langs = F.broadcast(model.select(lang_col, "prior").distinct())
-    base = pinned.select(id_col).crossJoin(langs)
-    return (
-        base.join(per_lang, [id_col, lang_col], "left")
+    priors = model.filter(F.col("bucket") == 0).select(lang_col, "prior")
+    scored = per_lang.join(F.broadcast(priors), lang_col).select(
+        id_col,
+        lang_col,
+        "n_grams",
+        (F.col("prior") + F.col("__ll")).alias("score"),
+    )
+    # featureless ⟺ the LOWERED text is shorter than one gram (lower(),
+    # not raw: Unicode case folding can change the char count)
+    lowered_len = F.length(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    empty = (
+        pinned.filter(lowered_len < F.lit(n))
+        .select(id_col)
+        .crossJoin(F.broadcast(priors))
         .select(
             id_col,
             lang_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            (F.col("prior") + F.coalesce("__ll", F.lit(0.0))).alias("score"),
+            F.lit(0).cast("long").alias("n_grams"),
+            F.col("prior").alias("score"),
         )
     )
+    return scored.unionByName(empty)
 
 
 def langid_predict(
