@@ -91,10 +91,12 @@ def _java_repl_to_re2(repl: str) -> str:
 
 def _re2_pattern(pat: str) -> str:
     """Strip the Unicode flag (RE2 classes are ASCII; oracle inputs are ASCII
-    for \\w/\\d-bearing patterns, so semantics agree) and align whitespace:
-    Java's \\s includes vertical tab (U+000B), RE2's does not, so every \\s
-    becomes [\\s\\x0b] (or \\s\\x0b inside an existing class) and a bare \\S
-    becomes [^\\s\\x0b] — same convention as the hand-written oracle SQL."""
+    for \\w/\\d-bearing patterns, so semantics agree) and align whitespace
+    EXPLICITLY: neither engine's ``\\s`` shorthand is trusted on the
+    value-exact comparison surface, so every ``\\s`` becomes the literal
+    class ``[ \\t\\n\\x0b\\f\\r]`` (`` \\t\\n\\x0b\\f\\r`` inside an existing
+    class) and a bare ``\\S`` becomes ``[^ \\t\\n\\x0b\\f\\r]`` — same
+    convention as the hand-written oracle SQL and textstats.WS_CLASS."""
     pat = pat.replace("(?mU)", "(?m)").replace("(?U)", "")
     out: list[str] = []
     i, in_class = 0, False
@@ -103,9 +105,9 @@ def _re2_pattern(pat: str) -> str:
         if ch == "\\" and i + 1 < len(pat):
             nxt = pat[i + 1]
             if nxt == "s":
-                out.append("\\s\\x0b" if in_class else "[\\s\\x0b]")
+                out.append(" \\t\\n\\x0b\\f\\r" if in_class else "[ \\t\\n\\x0b\\f\\r]")
             elif nxt == "S" and not in_class:
-                out.append("[^\\s\\x0b]")
+                out.append("[^ \\t\\n\\x0b\\f\\r]")
             else:
                 out.append(ch + nxt)
             i += 2
@@ -185,7 +187,7 @@ _MATH_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
 )
 
 _MATH_SUFFIX_SQL = (
-    "text || ' sqrt test √' || (doc_id % 97) || ' frac ' || (doc_id % 50) || '/' "
+    "coalesce(text, '') || ' sqrt test √' || (doc_id % 97) || ' frac ' || (doc_id % 50) || '/' "
     "|| ((doc_id % 9) + 1) || ' pow x^' || (doc_id % 9) || ' sub a_' || (doc_id % 7) "
     "|| ' sin(x) cos(2t) tan(z) [数式:E=mc^2] ∫x dx α β γ θ π ∞'"
 )
@@ -201,7 +203,7 @@ _LAYOUT_TEXT_SQL = (
     "(doc_id % 5) || '． Heading line' || chr(10) || ((doc_id + 1) % 4) || "
     "'、choice no space digit' || chr(10) || '2.  3 backtrack case' || chr(10) || "
     "'3.4 no match' || chr(10) || '• bullet one' || chr(10) || '・ bullet two' || "
-    "chr(10) || chr(10) || chr(10) || chr(10) || chr(10) || text"
+    "chr(10) || chr(10) || chr(10) || chr(10) || chr(10) || coalesce(text, '')"
 )
 
 _FIG_TEXT_SPARK = lambda: F.concat(  # noqa: E731
@@ -214,7 +216,7 @@ _FIG_TEXT_SPARK = lambda: F.concat(  # noqa: E731
 
 _FIG_TEXT_SQL = (
     "'see [図' || ((doc_id % 4) + 1) || '] and [表' || ((doc_id % 3) + 1) || '] mid ' "
-    "|| text || ' then [Fig.' || ((doc_id % 5) + 1) || '] end [Table' || "
+    "|| coalesce(text, '') || ' then [Fig.' || ((doc_id % 5) + 1) || '] end [Table' || "
     "((doc_id % 2) + 1) || ']'"
 )
 
@@ -228,7 +230,7 @@ _HTML_SPARK = lambda: F.concat(  # noqa: E731
 
 _HTML_SQL = (
     "'<nav><a href=\"#\">Home</a> <a href=\"#\">About</a> <a href=\"#\">Contact</a></nav><h1>' "
-    "|| source || ' document ' || doc_id || ' heading line</h1><p>' || text || "
+    "|| source || ' document ' || doc_id || ' heading line</h1><p>' || coalesce(text, '') || "
     "'</p><p>tiny</p><div>More <a href=\"#\">link one</a> <a href=\"#\">link two</a> txt</div>"
     "<footer><a href=\"#\">Privacy</a> | <a href=\"#\">Terms</a></footer>'"
 )
@@ -242,6 +244,10 @@ _SPAN_KIND_SQL = (
     "when pos % 11 = 3 then 'table' else 'text' end"
 )
 
+# same classifier over the RAW (pre-NUL-strip) word — the extraction
+# pipeline decides kind before extract_docs sanitizes non-media span text
+_SPAN_KIND_RAW_SQL = _SPAN_KIND_SQL.replace("word = 'table'", "raw_word = 'table'")
+
 
 def _span_kind_spark(word: F.Column, pos: F.Column) -> F.Column:
     return (
@@ -254,7 +260,13 @@ def _span_kind_spark(word: F.Column, pos: F.Column) -> F.Column:
 
 
 def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """documents with the null≡'' text contract applied at the source: a
+    null-text doc must flow through every gate exactly like an empty-text
+    doc (one output row, zeroed stats) instead of silently vanishing from
+    splits/explodes on one engine and surviving on the other. Oracles
+    mirror this with coalesce(text, '') at their first read."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
 
 
 def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,10 +911,11 @@ def q_wet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_inputs(spark: SparkSession, sf_dir: str):
     """Shared upstream of the two langid gates: three synthetic 'languages'
     derived deterministically from the documents table (doc_id % 3 —
-    'aa' = raw text, 'bb' = consonant-masked, 'cc' = reversed, each a
+    'aa' = raw text, 'bb' = vowel-masked, 'cc' = consonant-masked, each a
     distinct char-trigram distribution), fit on the doc_id % 5 == 0 slice,
-    score the rest. Every transform is engine-portable (translate /
-    reverse / lower exist verbatim in DuckDB)."""
+    score the rest. Both masks are translate() — PER-CODEPOINT in every
+    engine; the earlier 'cc' = reverse() diverged on combining marks
+    (DuckDB reverses GRAPHEMES, Spark reverses codepoints)."""
     d = F.col("doc_id")
     t0 = F.coalesce("text", F.lit(""))
     lang = (
@@ -911,7 +924,7 @@ def _langid_inputs(spark: SparkSession, sf_dir: str):
     text = (
         F.when(d % 3 == 0, t0)
         .when(d % 3 == 1, F.translate(t0, "etaoins", "XXXXXXX"))
-        .otherwise(F.reverse(t0))
+        .otherwise(F.translate(t0, "rhldcum", "QQQQQQQ"))
     )
     docs = _docs_table(spark, sf_dir).select(
         "doc_id", lang.alias("lang"), text.alias("text")
@@ -1447,9 +1460,15 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.media import decode_meta_native, resize_meta_native
 
     docs = _docs_table(spark, sf_dir)
+    # printable-ASCII sanitize: the DuckDB twin replays the byte arithmetic
+    # with ord()/length() on STRINGS, which is byte-exact only when every
+    # char is single-byte — so the synthesized payload is canonicalized to
+    # [ -~] on BOTH sides before encoding (the operator still sees real
+    # bytes; only the fixture synthesis is restricted)
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
     payload = F.concat(
         F.col("source"), F.lit(":"),
-        F.repeat(F.substring("text", 1, 50), ((F.col("doc_id") % 40) * 20).cast("int")),
+        F.repeat(F.substring(ascii_text, 1, 50), ((F.col("doc_id") % 40) * 20).cast("int")),
     )
     ascii_bytes = F.encode(payload, "utf-8")
     blob = (
@@ -1487,7 +1506,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decode_image_meta, resize_image_if_needed = make_decode_udf(), make_resize_udf()
     docs = _docs_table(spark, sf_dir).filter(F.col("doc_id") < 100).select(
-        "doc_id", F.col("source").alias("media_ref"), "text"
+        "doc_id",
+        F.col("source").alias("media_ref"),
+        # printable-ASCII sanitize — see q_media_meta; the DuckDB twin's
+        # ord() histogram is byte-exact only on single-byte chars
+        F.regexp_replace("text", "[^ -~]", "").alias("text"),
     )
     feat = byte_histogram_features(64, as_double=True)
     mt = (
@@ -1533,8 +1556,14 @@ def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.sources.pdf import pages_to_docs, split_pages
 
     # words materialized as a column: referencing the split EXPRESSION inside
-    # the chunk lambda would re-evaluate it per chunk (lambda-CSE pitfall)
-    docs = _docs_table(spark, sf_dir).withColumn("__words", F.split("text", " "))
+    # the chunk lambda would re-evaluate it per chunk (lambda-CSE pitfall).
+    # Literal \f is stripped from the content FIRST: the synthesized blob
+    # frames pages with form-feeds, so a content \f would forge page breaks
+    # (content-vs-framing collision — same class as the \x00 image
+    # sentinel); the oracle mirrors with replace(text, chr(12), '')
+    docs = _docs_table(spark, sf_dir).withColumn(
+        "__words", F.split(F.regexp_replace("text", r"\f", ""), " ")
+    )
     n = F.size("__words")
     chunks = F.transform(
         F.sequence(F.lit(0), F.ceil(n / F.lit(10.0)).cast("int") - 1),
@@ -1826,8 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 _WORDS_CTE = (
-    "with words as (select doc_id, unnest(string_split(text, ' ')) as word, "
-    "generate_subscripts(string_split(text, ' '), 1) as pos from documents)"
+    "with words as (select doc_id, unnest(string_split(coalesce(text, ''), ' ')) as word, "
+    "generate_subscripts(string_split(coalesce(text, ''), ' '), 1) as pos from documents)"
 )
 
 
@@ -1870,7 +1899,8 @@ def oracle_sql() -> dict[str, str]:
         from nums
     """
     sql["span_reconstruct"] = (
-        "select doc_id, text as content, len(string_split(text, ' ')) as n_spans "
+        "select doc_id, coalesce(text, '') as content, "
+        "len(string_split(coalesce(text, ''), ' ')) as n_spans "
         "from documents"
     )
     sql["figure_numbering"] = f"""
@@ -1913,28 +1943,28 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["dedup_exact"] = r"""
         with unioned as (
-          select doc_id, text, source from documents
+          select doc_id, coalesce(text, '') as text, source from documents
           union all
-          select doc_id + 100000 as doc_id, '  ' || upper(text) || '  ' as text, source
+          select doc_id + 100000 as doc_id, '  ' || upper(coalesce(text, '')) || '  ' as text, source
           from documents where doc_id % 10 = 0
         )
         select doc_id, source from unioned
         qualify row_number() over (
-          partition by trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g'))
+          partition by trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))
           order by doc_id) = 1
     """
     sql["dedup_jaccard"] = r"""
         with base as (
-          select doc_id, text from documents where doc_id < 150
+          select doc_id, coalesce(text, '') as text from documents where doc_id < 150
           union all
-          select doc_id + 100000, text || ' tail marker token'
+          select doc_id + 100000, coalesce(text, '') || ' tail marker token'
           from documents where doc_id < 150 and doc_id % 5 = 0
         ),
         sh as (
           select doc_id,
                  list_distinct(list_transform(
-                   range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ')) - 2, 1) + 1),
-                   i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' '), i, i + 2), ' ')
+                   range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '), i, i + 2), ' ')
                  )) as shingles
           from base
         )
@@ -1965,9 +1995,9 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["token_stats"] = r"""
         select doc_id,
-               len(regexp_extract_all(text, '[^\s\x0b]+')) as ws_tokens,
-               len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s\x0b]')) as bpe_tokens,
-               length(text) as n_chars_obs
+               len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as ws_tokens,
+               len(regexp_extract_all(coalesce(text, ''), '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0b\f\r]')) as bpe_tokens,
+               length(coalesce(text, '')) as n_chars_obs
         from documents
     """
     sql["lang_detect"] = r"""
@@ -1975,7 +2005,7 @@ def oracle_sql() -> dict[str, str]:
           select doc_id,
                  case when doc_id % 7 = 0
                       then 'この回路の合成抵抗を求めよ。電圧と電流の関係を示せ。'
-                      else text end as t2
+                      else coalesce(text, '') end as t2
           from documents
         ), c as (
           select doc_id, length(t2) as total,
@@ -1993,15 +2023,16 @@ def oracle_sql() -> dict[str, str]:
         from c
     """
     sql["quality_score"] = r"""
-        with c as (
+        with d as (select doc_id, coalesce(text, '') as text from documents),
+        c as (
           select doc_id, text,
                  length(text) as raw_len,
                  greatest(length(text), 1) as total,
                  len(regexp_extract_all(text, '[[:punct:]。、「」・]')) as punct,
                  len(regexp_extract_all(text, '[0-9]')) as digit,
-                 len(regexp_extract_all(text, '[\s\x0b]')) as space,
-                 len(regexp_extract_all(text, '[^\s\x0b]+')) as ws_tokens
-          from documents
+                 len(regexp_extract_all(text, '[ \t\n\x0b\f\r]')) as space,
+                 len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) as ws_tokens
+          from d
         )
         select doc_id,
                round((
@@ -2025,11 +2056,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pack_sequences"] = r"""
         with t as (
           select doc_id, cast(doc_id % 8 as int) as shard,
-                 cast(case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                           then 0
-                           else len(string_split_regex(
-                             regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'))
-                      end as bigint) as n_tokens
+                 cast(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as bigint) as n_tokens
           from documents
         ),
         c as (
@@ -2047,10 +2074,9 @@ def oracle_sql() -> dict[str, str]:
     sql["lm_quality"] = r"""
         with words as (
           select doc_id,
-                 unnest(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w
+                 unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as w
           from documents
-          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+          where len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) > 0
         ),
         counts as (select w, count(*) as c from words group by w),
         consts as (select cast(sum(c) as double) as total,
@@ -2077,10 +2103,9 @@ def oracle_sql() -> dict[str, str]:
     sql["perplexity_buckets"] = r"""
         with words as (
           select doc_id,
-                 unnest(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w
+                 unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as w
           from documents
-          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+          where len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) > 0
         ),
         counts as (select w, count(*) as c from words group by w),
         consts as (select cast(sum(c) as double) as total,
@@ -2112,12 +2137,10 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_lines"] = r"""
         with words as (
           select doc_id,
-                 unnest(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
-                 generate_subscripts(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
+                 unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as w,
+                 generate_subscripts(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+'), 1) as pos
           from documents
-          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+          where len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) > 0
         ),
         lines as (
           select doc_id, cast((pos - 1) // 2 as int) as ci,
@@ -2405,18 +2428,20 @@ def oracle_sql() -> dict[str, str]:
     sql["json_block"] = r"""
         select doc_id,
                trim(regexp_extract(
-                 'intro ' || substring(text, 1, 20) || ' ```json' || chr(10) ||
+                 'intro ' || substring(coalesce(text, ''), 1, 20) || ' ```json' || chr(10) ||
                  '{"k": ' || doc_id || '}' || chr(10) || '``` outro',
                  '(?s)```json(.*?)```', 1)) as block
         from documents
     """
     sql["markdown_render"] = """
-        select doc_id, replace(text, ' ', chr(10) || chr(10)) as content
+        select doc_id, replace(coalesce(text, ''), ' ', chr(10) || chr(10)) as content
         from documents
     """
+    # checksum chars: '(?s).' not '.' — RE2's bare dot skips \n, silently
+    # dropping newline codepoints from the sum (Spark's split('') does not)
     sql["base64_mime"] = """
         with named as (
-          select doc_id, text, source,
+          select doc_id, coalesce(text, '') as text, source,
                  case when doc_id % 4 = 0 then 'png'
                       when doc_id % 4 = 1 then 'JPG'
                       when doc_id % 4 = 2 then 'webp' else 'txt' end as ext
@@ -2429,9 +2454,9 @@ def oracle_sql() -> dict[str, str]:
                     when 'webp' then 'image/webp' when 'gif' then 'image/gif'
                     else 'application/octet-stream' end as mime,
                to_base64(encode(substring(text, 1, 32))) as b64,
-               cast(list_aggregate(list_transform(
-                 regexp_extract_all(substring(text, 1, 16), '.'), c -> ord(c)),
-                 'sum') as int) as checksum
+               cast(coalesce(list_aggregate(list_transform(
+                 regexp_extract_all(substring(text, 1, 16), '(?s).'), c -> ord(c)),
+                 'sum'), 0) as int) as checksum
         from named
     """
     sql["stride_sample"] = """
@@ -2454,14 +2479,14 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["fingerprint_dups"] = r"""
         with un as (
-          select doc_id, text from documents
+          select doc_id, coalesce(text, '') as text from documents
           union all
-          select doc_id + 200000, '  ' || upper(text)
+          select doc_id + 200000, '  ' || upper(coalesce(text, ''))
           from documents where doc_id % 7 = 0
         ),
         norm as (
           select doc_id,
-                 trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')) as nt
+                 trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) as nt
           from un
         )
         select a.doc_id as id_a, b.doc_id as id_b
@@ -2469,14 +2494,14 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["winnow_overlap"] = r"""
         with un as (
-          select doc_id, text from documents where doc_id < 60
+          select doc_id, coalesce(text, '') as text from documents where doc_id < 60
           union all
-          select doc_id + 300000, text || ' appended drift tokens here'
+          select doc_id + 300000, coalesce(text, '') || ' appended drift tokens here'
           from documents where doc_id < 60 and doc_id % 3 = 0
         ),
         words as (
           select doc_id,
-                 string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ') as w
+                 string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') as w
           from un
         ),
         chunks as (
@@ -2492,14 +2517,14 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["simhash_dups"] = r"""
         with un as (
-          select doc_id, text from documents where doc_id < 100
+          select doc_id, coalesce(text, '') as text from documents where doc_id < 100
           union all
-          select doc_id + 400000, text || ' zz'
+          select doc_id + 400000, coalesce(text, '') || ' zz'
           from documents where doc_id < 100 and doc_id % 4 = 0
         ),
         words as (
           select doc_id,
-                 unnest(string_split(trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')), ' ')) as w
+                 unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) as w
           from un
         ),
         h as (select doc_id, md5(w) as h from words),
@@ -2664,9 +2689,9 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(string_agg(
                    case when kind = 'choice' then
                      coalesce(nullif(regexp_extract(word,
-                       '^[\\s\\x0b]*(\\d+)[\\.．、]?[\\s\\x0b]*(.*)$', 1), ''), '')
+                       '^[ \\t\\n\\x0b\\f\\r]*(\\d+)[\\.．、]?[ \\t\\n\\x0b\\f\\r]*(.*)$', 1), ''), '')
                      || '. ' ||
-                     regexp_extract(word, '^[\\s\\x0b]*(\\d+)[\\.．、]?[\\s\\x0b]*(.*)$', 2)
+                     regexp_extract(word, '^[ \\t\\n\\x0b\\f\\r]*(\\d+)[\\.．、]?[ \\t\\n\\x0b\\f\\r]*(.*)$', 2)
                      || chr(10)
                    end, '' order by pos), '') as choices_md,
                  sum(case when kind = 'choice' then 1 else 0 end) as n_choices
@@ -2704,13 +2729,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # NOTE (media_meta / media_features): the oracles use DuckDB CHARACTER
     # arithmetic (ord/length/substring on strings) as a twin for the Spark
-    # side's BYTE arithmetic. This equivalence holds because the fixture
-    # corpus is pure ASCII (verified: 0 non-ASCII rows at every SF) — a
-    # non-ASCII corpus would need encode()/octet_length() here instead.
+    # side's BYTE arithmetic. Both sides sanitize the synthesized payload
+    # to printable ASCII ([ -~]) first, making the string arithmetic
+    # byte-exact on ANY corpus content (null text == '').
     sql["media_meta"] = """
         with base as (
           select doc_id,
-                 source || ':' || repeat(substring(text, 1, 50), (doc_id % 40) * 20) as s,
+                 source || ':' || repeat(substring(
+                   regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 50),
+                   (doc_id % 40) * 20) as s,
                  doc_id % 3 as m
           from documents
         ),
@@ -2723,9 +2750,9 @@ def oracle_sql() -> dict[str, str]:
         meta as (
           select doc_id, m, magic_len,
                  magic_len + length(s) as n,
-                 magic_sum + list_aggregate(list_transform(
-                   regexp_extract_all(substring(s, 1, 16 - magic_len), '.'),
-                   c -> ord(c)), 'sum') as head_sum
+                 magic_sum + coalesce(list_aggregate(list_transform(
+                   regexp_extract_all(substring(s, 1, 16 - magic_len), '(?s).'),
+                   c -> ord(c)), 'sum'), 0) as head_sum
           from sized
         ),
         rz as (
@@ -2750,11 +2777,13 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["media_features"] = """
         with base as (
-          select doc_id, source || ':' || text as s from documents where doc_id < 100
+          select doc_id,
+                 source || ':' || regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') as s
+          from documents where doc_id < 100
         ),
         chars as (
           select doc_id,
-                 unnest(list_transform(regexp_extract_all(s, '.'), c -> ord(c) % 64)) as bucket
+                 unnest(list_transform(regexp_extract_all(s, '(?s).'), c -> ord(c) % 64)) as bucket
           from base
         ),
         counts as (
@@ -2769,8 +2798,15 @@ def oracle_sql() -> dict[str, str]:
         join norms n using (doc_id)
         left join counts c on c.doc_id = g.doc_id and c.bucket = g.bucket
     """
+    # own words CTE: content \f is stripped before page framing (mirrors
+    # the Spark side's forgery defense above)
     sql["pdf_pages"] = f"""
-        {_WORDS_CTE}
+        with words as (
+          select doc_id,
+                 unnest(string_split(replace(coalesce(text, ''), chr(12), ''), ' ')) as word,
+                 generate_subscripts(string_split(replace(coalesce(text, ''), chr(12), ''), ' '), 1) as pos
+          from documents
+        )
         select doc_id || '_page_' ||
                case when length(cast(page_no as varchar)) < 3
                     then lpad(cast(page_no as varchar), 3, '0')
@@ -2825,11 +2861,11 @@ def oracle_sql() -> dict[str, str]:
         feat as (
           select doc_id, cast(block_no as int) as block_no,
                  trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
-                                     '[\\s\\x0b]+', ' ', 'g')) as text,
+                                     '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) as text,
                  cast(coalesce(list_sum(list_transform(
                         regexp_extract_all(raw, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
                         a -> length(trim(regexp_replace(regexp_replace(a,
-                               '(?s)<[^>]*>', ' ', 'g'), '[\\s\\x0b]+', ' ', 'g'))))), 0)
+                               '(?s)<[^>]*>', ' ', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))), 0)
                       as int) as link_chars,
                  cast(len(regexp_extract_all(raw, '(?s)<[^>]*>')) as int) as n_tags
           from blocks
@@ -2927,16 +2963,26 @@ def oracle_sql() -> dict[str, str]:
     # pattern (no split/promotion) — and the HASH now catches it if that
     # property ever breaks, unlike the r2 count-only oracle.
     _EXTRACTED_WORD_SQL = _layout_chain_sql(_math_chain_sql("word"))
+    # non-media span text strips literal NULs first, mirroring the
+    # operator's sentinel-forgery defense (extract._normalized_text strips
+    # \x00 before the in-band image-sentinel pass); kind is decided on the
+    # RAW word and media spans bypass extraction entirely, exactly like
+    # extract_docs
     sql["extraction_pipeline"] = f"""
         {_WORDS_CTE},
+        cleaned as (
+          select doc_id, pos, word as raw_word,
+                 replace(word, chr(0), '') as word
+          from words
+        ),
         spans as (
           select doc_id, pos,
-                 ({_SPAN_KIND_SQL}) as kind,
-                 case when ({_SPAN_KIND_SQL}) = 'media' then word
+                 ({_SPAN_KIND_RAW_SQL}) as kind,
+                 case when ({_SPAN_KIND_RAW_SQL}) = 'media' then raw_word
                       else {_EXTRACTED_WORD_SQL} end as text,
-                 case when ({_SPAN_KIND_SQL}) = 'media'
+                 case when ({_SPAN_KIND_RAW_SQL}) = 'media'
                       then 'img://' || doc_id || '/' || pos end as media_ref
-          from words
+          from cleaned
         )
         select doc_id,
                cast(count(*) as int) as n_spans,
@@ -2957,19 +3003,17 @@ def oracle_sql() -> dict[str, str]:
         from documents
     """
     # --- corpus-curation family (operators/curation) -----------------------
-    # words split mirrors curation.words_column: trim + split on \s+, empty
-    # text -> zero words (left joins restore empty docs with zeroed stats)
+    # words mirror curation.words_column exactly: maximal non-whitespace
+    # runs over the EXPLICIT shared class (textstats.WS_CHARS — engine \s
+    # shorthand is never trusted on a value-exact surface); empty text ->
+    # zero words (left joins restore empty docs with zeroed stats)
     _CURATION_WORDS = r"""
         words as (
-          -- regexp edge-strip, not trim(): trim removes spaces only, and a
-          -- leading newline/tab would make a phantom '' first word
           select doc_id,
-                 unnest(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
-                 generate_subscripts(string_split_regex(
-                   regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
+                 unnest(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) as w,
+                 generate_subscripts(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+'), 1) as pos
           from documents
-          where regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+          where len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+')) > 0
         )
     """
     sql["repetition_stats"] = f"""
@@ -3014,16 +3058,13 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_quality"] = r"""
         with base as (
           select doc_id, coalesce(text, '') as t,
-                 case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+') as ws
           from documents
         ),
         raw as (
           select doc_id,
                  len(ws) as n_words,
-                 cast(length(regexp_replace(t, '[\s\x0b]', '', 'g')) as double)
+                 cast(length(regexp_replace(t, '[ \t\n\x0b\f\r]', '', 'g')) as double)
                    / greatest(len(ws), 1) as mean_word_len,
                  cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
                    / greatest(len(ws), 1) as symbol_ratio,
@@ -3056,7 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         )
         select d.doc_id,
                coalesce(e.n, 0) as n_words,
-               round(coalesce(ln(e.n) - e.s / e.n, 0.0), 4) as entropy
+               round(greatest(coalesce(ln(e.n) - e.s / e.n, 0.0), 0.0), 4) as entropy
         from documents d left join ent e using (doc_id)
     """
     sql["chunk_dedup"] = f"""
@@ -3101,10 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         base as (
           select doc_id, coalesce(t, '') as t,
-                 case when regexp_replace(coalesce(t, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(t, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+                 regexp_extract_all(coalesce(t, ''), '[^ \t\n\x0b\f\r]+') as ws
           from docs0
         ),
         wins as (
@@ -3177,7 +3215,7 @@ def oracle_sql() -> dict[str, str]:
                  lower(case when doc_id % 3 = 0 then coalesce(text, '')
                             when doc_id % 3 = 1
                               then translate(coalesce(text, ''), 'etaoins', 'XXXXXXX')
-                            else reverse(coalesce(text, '')) end) as t
+                            else translate(coalesce(text, ''), 'rhldcum', 'QQQQQQQ') end) as t
           from documents
         ),
         grams as (
@@ -3257,16 +3295,13 @@ def oracle_sql() -> dict[str, str]:
     sql["curation_pipeline"] = r"""
         with base as (
           select doc_id, coalesce(text, '') as t,
-                 case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+') as ws
           from documents
         ),
         raw as (
           select doc_id,
                  len(ws) as n_words,
-                 cast(length(regexp_replace(t, '[\s\x0b]', '', 'g')) as double)
+                 cast(length(regexp_replace(t, '[ \t\n\x0b\f\r]', '', 'g')) as double)
                    / greatest(len(ws), 1) as mean_word_len,
                  cast(len(regexp_extract_all(t, '#|\.\.\.|…')) as double)
                    / greatest(len(ws), 1) as symbol_ratio,
@@ -3286,12 +3321,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         words as (
           select d.doc_id,
-                 unnest(string_split_regex(
-                   regexp_replace(d.text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+')) as w,
-                 generate_subscripts(string_split_regex(
-                   regexp_replace(d.text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+'), 1) as pos
+                 unnest(regexp_extract_all(coalesce(d.text, ''), '[^ \t\n\x0b\f\r]+')) as w,
+                 generate_subscripts(regexp_extract_all(coalesce(d.text, ''), '[^ \t\n\x0b\f\r]+'), 1) as pos
           from documents d join kept using (doc_id)
-          where regexp_replace(coalesce(d.text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') <> ''
+          where len(regexp_extract_all(coalesce(d.text, ''), '[^ \t\n\x0b\f\r]+')) > 0
         ),
         ch as (
           select doc_id, cast((pos - 1) // 10 as int) as ci,
@@ -3320,10 +3353,7 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = r"""
         with base as (
           select doc_id,
-                 case when regexp_replace(coalesce(lower(text), ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(lower(text), '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+                 regexp_extract_all(coalesce(lower(text), ''), '[^ \t\n\x0b\f\r]+') as ws
           from documents
         ),
         grams as (
@@ -3453,14 +3483,9 @@ def oracle_sql() -> dict[str, str]:
     _wlit = "[" + ", ".join(repr(x) for x in make_seeded_weights(32, seed=5)) + "]"
     sql["classifier_quality"] = r"""
         with docs as (select doc_id, coalesce(text, '') as text from documents),
-        stripped as (
-          select doc_id,
-                 regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g') as t
-          from docs
-        ),
         words as (
-          select doc_id, unnest(string_split_regex(t, '[\s\x0b]+')) as w
-          from stripped where t <> ''
+          select doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) as w
+          from docs
         ),
         -- md5 word bucket, digit-by-digit (the portable_uniform trick):
         -- first 8 hex chars of md5('3|' || word) as an integer, mod 32
@@ -3533,10 +3558,7 @@ def oracle_sql() -> dict[str, str]:
         with docs as (select doc_id, coalesce(text, '') as text from documents),
         base as (
           select doc_id,
-                 case when regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+') as ws
           from docs
         ),
         grams as (
@@ -3668,10 +3690,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["top_ngrams"] = r"""
         with base as (
-          select case when regexp_replace(coalesce(text, ''), '^[\s\x0b]+|[\s\x0b]+$', '', 'g') = ''
-                      then cast([] as varchar[])
-                      else string_split_regex(
-                        regexp_replace(text, '^[\s\x0b]+|[\s\x0b]+$', '', 'g'), '[\s\x0b]+') end as ws
+          select regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0b\f\r]+') as ws
           from documents
         ),
         grams as (
@@ -3688,8 +3707,8 @@ def oracle_sql() -> dict[str, str]:
     sql["pii_redact"] = r"""
         with planted as (
           select doc_id,
-                 case when doc_id % 4 = 0 then text
-                      else text || ' contact user' || doc_id
+                 case when doc_id % 4 = 0 then coalesce(text, '')
+                      else coalesce(text, '') || ' contact user' || doc_id
                            || '@example.com or 10.0.' || (doc_id % 256)
                            || '.7 call 090-1234-'
                            || lpad(cast(doc_id % 10000 as varchar), 4, '0')

@@ -16,22 +16,35 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: THE whitespace contract, spelled out. Java's ``\\s`` is exactly these six
+#: ASCII chars and RE2's ``\\s`` is the same set minus ``\\x0b`` — but the
+#: word-split surface feeds value-exact cross-engine comparisons, so neither
+#: engine's shorthand is trusted: every word/token regex on BOTH sides uses
+#: these explicit classes (the escapes \\t \\n \\x0b \\f \\r are interpreted
+#: identically by Java regex and RE2, so one literal serves both).
+WS_CHARS = r" \t\n\x0b\f\r"
+WS_CLASS = "[" + WS_CHARS + "]"
+NON_WS_RUN = "[^" + WS_CHARS + "]+"
+
+
 def whitespace_token_count(col: Column | str) -> Column:
-    """Whitespace-delimited tokens: the number of ``\\S+`` runs; 0 for
+    """Whitespace-delimited tokens: the number of non-whitespace runs; 0 for
     empty/null/whitespace-only text.
 
     Counted directly with ``regexp_count`` — the earlier
     ``size(split(trim(text)))`` form materialized an array AND miscounted
     when the text had leading/trailing NON-SPACE whitespace (``F.trim``
     strips spaces only, so ``"\\nhello"`` split to ``["", "hello"]`` — a
-    phantom empty token). SQL-oracle twin:
-    ``len(regexp_extract_all(text, '\\S+'))``."""
-    return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(r"\S+"))
+    phantom empty token). Uses the explicit ``NON_WS_RUN`` class, never the
+    engine-default ``\\S``. SQL-oracle twin:
+    ``len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+'))``."""
+    return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(NON_WS_RUN))
 
 
 # BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
 # symbols — the GPT-2-style pretoken boundary classes, minus lookaheads.
-BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+# Whitespace is the explicit shared class (WS_CHARS), not engine \s.
+BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}" + WS_CHARS + "]"
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -51,7 +64,7 @@ def char_class_counts(col: Column | str) -> dict[str, Column]:
         "latin": F.regexp_count(c, F.lit(r"[A-Za-z]")),
         "digit": F.regexp_count(c, F.lit(r"[0-9]")),
         "punct": F.regexp_count(c, F.lit(r"[\p{Punct}。、「」・]")),
-        "space": F.regexp_count(c, F.lit(r"\s")),
+        "space": F.regexp_count(c, F.lit(WS_CLASS)),
     }
 
 
@@ -97,7 +110,9 @@ def quality_score(col: Column | str) -> Column:
 
 def doc_fingerprint(col: Column | str) -> Column:
     """Stable 64-bit whole-document fingerprint over normalized text."""
-    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), WS_CLASS + "+", " ")
+    )
     return F.xxhash64(norm)
 
 
@@ -106,7 +121,10 @@ def rolling_fingerprints(col: Column | str, window: int = 8) -> Column:
     sliding chunk — array<long>, native. Feed to ``array_min`` for a
     winnowed doc signature or explode for chunk-level matching."""
     words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), r"\s+", " ")), " "
+        F.trim(
+            F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), WS_CLASS + "+", " ")
+        ),
+        " ",
     )
     n = F.size(words)
     return F.transform(

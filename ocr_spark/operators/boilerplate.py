@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_spark.functions.textstats import WS_CLASS
+
 # block-level elements: opening OR closing tags act as block boundaries
 BLOCK_TAG_RE = (
     r"(?i)</?(?:p|div|nav|header|footer|h[1-6]|li|ul|ol|article|section|"
@@ -61,7 +63,7 @@ DEFAULT_MAX_LINK_DENSITY = 1.0 / 3.0
 def visible_text(raw: Column | str) -> Column:
     """Markup → visible text: strip tags, collapse whitespace, trim."""
     c = F.col(raw) if isinstance(raw, str) else raw
-    return F.trim(F.regexp_replace(F.regexp_replace(c, _TAG_RE, " "), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.regexp_replace(c, _TAG_RE, " "), WS_CLASS + "+", " "))
 
 
 def html_blocks(
@@ -88,7 +90,7 @@ def html_blocks(
         F.transform(
             F.regexp_extract_all("raw", F.lit(_ANCHOR_RE), 1),
             lambda a: F.length(
-                F.trim(F.regexp_replace(F.regexp_replace(a, _TAG_RE, " "), r"\s+", " "))
+                F.trim(F.regexp_replace(F.regexp_replace(a, _TAG_RE, " "), WS_CLASS + "+", " "))
             ),
         ),
         F.lit(0),

@@ -66,14 +66,18 @@ def words_column(text_col: Column | str) -> Column:
     whitespace-only text (never null — callers posexplode_outer without an
     inferred filter).
 
-    Edges are stripped with a regexp (ALL whitespace): ``F.trim`` removes
-    spaces only, so ``"\\nhello"`` would split to a phantom empty first
-    token and corrupt every word-level statistic."""
+    Words are extracted as MAXIMAL NON-WHITESPACE RUNS with the explicit
+    shared class (:data:`ocr_spark.functions.textstats.NON_WS_RUN`), never
+    an engine-default ``\\s`` split: the earlier strip+split form leaned on
+    Java's ``\\s`` interpretation and edge-anchor semantics, while the
+    DuckDB oracles leaned on RE2's — ``regexp_extract_all`` with one
+    explicit ``[^ \\t\\n\\x0b\\f\\r]+`` literal is structurally identical in
+    both engines (no strip, no split, no empty-string special case) so the
+    word list matches byte-for-byte on ANY corpus content."""
+    from ocr_spark.functions.textstats import NON_WS_RUN
+
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
-    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
-    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
-    )
+    return F.regexp_extract_all(c, F.lit(NON_WS_RUN), F.lit(0))
 
 
 def _pinned_partitions(df: DataFrame) -> int:
@@ -245,7 +249,9 @@ def gopher_quality(
     d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"), words.alias("words"))
     n = F.size("words")
     nz = F.greatest(n, F.lit(1)).cast("double")
-    mean_len = F.length(F.regexp_replace(F.coalesce(F.col("_t"), F.lit("")), r"\s", "")) / nz
+    from ocr_spark.functions.textstats import WS_CLASS
+
+    mean_len = F.length(F.regexp_replace(F.coalesce(F.col("_t"), F.lit("")), WS_CLASS, "")) / nz
     symbols = F.regexp_count(F.coalesce(F.col("_t"), F.lit("")), F.lit(r"#|\.\.\.|…"))
     alpha_words = F.size(F.filter(F.col("words"), lambda w: w.rlike(r"\p{L}")))
     stops = F.size(F.filter(F.col("words"), lambda w: F.lower(w).isin(*stopwords)))
@@ -317,12 +323,19 @@ def token_entropy(
         .select(
             F.col("_id").alias(id_col),
             "n_words",
-            F.when(
-                F.col("n_words") > 0,
-                F.log(F.col("n_words")) - F.col("_clogc") / F.col("n_words"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("entropy"),
+            # greatest(·, 0): entropy is provably >= 0, but the float form
+            # ln(N) - Σc·ln(c)/N lands ±1 ulp of 0 on degenerate all-same-
+            # word docs and a tiny negative ROUNDS TO -0.0 in engines whose
+            # round() keeps the sign (DuckDB) while Spark's BigDecimal round
+            # never emits -0.0 — a value-hash mismatch. Clamp here and
+            # mirror greatest(x, 0.0) in every SQL twin.
+            F.greatest(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.log(F.col("n_words")) - F.col("_clogc") / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("entropy"),
         )
     )
 

@@ -17,11 +17,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ocr_spark.functions.textstats import WS_CLASS
+
 
 def normalized_text(col: Column | str) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim.
+
+    Whitespace is the explicit shared class (textstats.WS_CLASS), never the
+    engine-default ``\\s`` — this column feeds value-exact cross-engine
+    comparisons."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

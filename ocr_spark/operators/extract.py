@@ -43,8 +43,15 @@ _IMG_TAG_RE = r"^!\[図(\d+)\]\((.+)\)$"
 
 
 def _normalized_text(span_text: Column, doc_id: Column, image_base_path: str) -> Column:
-    """math rewrite → layout format → sentinel-wrapped image tags."""
-    out = apply_math_patterns(span_text)
+    """math rewrite → layout format → sentinel-wrapped image tags.
+
+    Literal NULs are stripped from the content FIRST: the image-tag pass
+    frames its insertions with an in-band ``\\x00`` sentinel, so a content
+    NUL (guaranteed to occur somewhere in a 10^12-doc web corpus) would
+    forge the framing and split a text span mid-word — the same
+    content-vs-framing collision class as a WET payload containing
+    'WARC/1.0'. NUL carries no text semantics, so stripping is lossless."""
+    out = apply_math_patterns(F.regexp_replace(span_text, r"\x00", ""))
     out = format_layout(out)
     out = insert_image_tags(out, doc_id, image_base_path=image_base_path, sentinel=True)
     return out

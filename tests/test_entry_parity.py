@@ -7,14 +7,13 @@ Runs at sf0.001 for speed; the driver uses sf0.01 (spot-checked manually).
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
-import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from tests.parity_util import assert_frames_match
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
@@ -34,26 +33,6 @@ def duck():
     con.close()
 
 
-def _canon(df: pd.DataFrame) -> list[tuple]:
-    df = df.reindex(sorted(df.columns), axis=1)
-
-    def norm(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "NULL"
-        if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return f"{v:.9g}"
-        if isinstance(v, bool):
-            return str(int(v))
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return str(v)
-
-    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return sorted(rows)
-
-
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
 
 
@@ -62,16 +41,7 @@ def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     spark_pdf = q(spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(entry_mod.oracle_sql()[name]).df()
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
-    )
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
-    )
-    a, b = _canon(spark_pdf), _canon(duck_pdf)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
-        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+    assert_frames_match(name, spark_pdf, duck_pdf)
 
 
 def test_rows_only_queries(spark):
