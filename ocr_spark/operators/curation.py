@@ -503,7 +503,17 @@ def perplexity_buckets(
             if exact
             else F.percentile_approx(score_col, pcts, F.lit(accuracy))
         )
-        cuts = list(scored.agg(agg.alias("t")).collect()[0]["t"])
+        got = scored.agg(agg.alias("t")).collect()[0]["t"]
+        if got is None:
+            # percentile over zero rows (or an all-null score column) is
+            # NULL — fail with the actual problem, not list(None)'s
+            # TypeError (r4 advisor finding)
+            raise ValueError(
+                "cannot compute perplexity thresholds from an empty corpus "
+                f"(no non-null {score_col!r} values); pass explicit "
+                "thresholds= instead"
+            )
+        cuts = list(got)
     if len(cuts) != len(labels) - 1:
         raise ValueError(
             f"need {len(labels) - 1} thresholds for {labels}, got {len(cuts)}"

@@ -154,7 +154,17 @@ def langid_fit(
     dense = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
-    grid = priors.join(totals, lang_col).crossJoin(dense)
+    # LEFT join totals: a language whose whole fit slice yields zero grams
+    # (every text shorter than n chars) must still get its prior row and
+    # the uniform smoothed model logp = ln(add_k / (0 + add_k*n_buckets)),
+    # not silently vanish from the model ('every document scores every
+    # language' — the r4 advisor finding; the SQL oracle cross-joins ALL
+    # languages, so an inner join here diverges on degenerate slices).
+    grid = (
+        priors.join(totals, lang_col, "left")
+        .withColumn("__t", F.coalesce("__t", F.lit(0)))
+        .crossJoin(dense)
+    )
     model = (
         grid.join(counts, [lang_col, "bucket"], "left")
         .select(

@@ -190,9 +190,18 @@ def host_suffixes(col: Column | str, max_depth: int = 6) -> Column:
     100-label host yields only its last ``max_depth`` suffixes; blocklists
     key on registrable domains, which live at the short end, so the
     dropped deep suffixes cost nothing). Row-local; each suffix is an
-    O(depth) ``slice`` + join of the labels array."""
+    O(depth) ``slice`` + join of the labels array.
+
+    The transform lambda references ``col`` (via the labels split) once
+    PER SUFFIX — pass a plain attribute, never an expensive expression
+    (Catalyst re-inlines aliased exprs into lambda bodies, no CSE there);
+    pipelines should materialize the labels array and call
+    :func:`_label_suffixes` directly (see :func:`blocklist_filter`)."""
     c = F.col(col) if isinstance(col, str) else col
-    labels = F.split(c, r"\.")
+    return _label_suffixes(F.split(c, r"\."), max_depth)
+
+
+def _label_suffixes(labels: Column, max_depth: int) -> Column:
     n = F.size(labels)
     start = F.when(n > max_depth, n - max_depth + 1).otherwise(F.lit(1))
     idx = F.when(n >= 1, F.sequence(start, n)).otherwise(
@@ -226,8 +235,21 @@ def blocklist_filter(
     window over the suffix stream."""
     host = url_domain(normalize_url(url_col))
     with_host = docs.withColumn("host", host)
-    suffixes = with_host.select(
-        id_col, F.explode_outer(host_suffixes(F.col("host"), max_depth)).alias("__sfx")
+    # materialize the canonical host's LABEL ARRAY as a real column before
+    # the suffix lambda touches it: building suffixes straight off the
+    # host expression re-inlines the whole normalize_url+url_domain regexp
+    # chain into the per-element lambda body (no CSE inside lambdas —
+    # CLAUDE.md pitfall, r4 advisor finding), re-canonicalizing the URL up
+    # to max_depth times per doc. With __labels a plain attribute, the
+    # chain runs once per row in the projection below it.
+    labeled = with_host.select(
+        id_col, F.split(F.col("host"), r"\.").alias("__labels")
+    )
+    suffixes = labeled.select(
+        id_col,
+        F.explode_outer(
+            _label_suffixes(F.col("__labels"), max_depth)
+        ).alias("__sfx"),
     ).filter(F.col("__sfx") != "")
     bl = F.broadcast(
         blocklist.select(F.col(domain_col).alias("__sfx")).distinct()

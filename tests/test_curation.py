@@ -454,6 +454,27 @@ def test_perplexity_buckets_approx_default_matches_exact_here(spark):
     assert approx == exact
 
 
+def test_perplexity_buckets_empty_corpus_raises_value_error(spark):
+    """percentile over zero rows is NULL; computed-threshold mode must
+    raise a meaningful ValueError, not list(None)'s TypeError (r4
+    advisor). Explicit thresholds stay fine on an empty frame."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.curation import perplexity_buckets
+
+    empty = spark.createDataFrame([], "doc_id int, cross_entropy double")
+    for kw in ({"exact": True}, {}):
+        with _pytest.raises(ValueError, match="empty corpus"):
+            perplexity_buckets(empty, **kw)
+    # all-null scores are the same degenerate case
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id int, cross_entropy double"
+    )
+    with _pytest.raises(ValueError, match="empty corpus"):
+        perplexity_buckets(nulls, exact=True)
+    assert perplexity_buckets(empty, thresholds=(1.0, 2.0)).count() == 0
+
+
 def test_perplexity_buckets_validation(spark):
     import pytest as _pytest
 

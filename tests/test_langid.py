@@ -169,6 +169,29 @@ def test_score_plan_shape(spark, seed_df, score_df):
     assert not re.search(r"Exchange hashpartitioning\(bucket", plan)
 
 
+def test_zero_gram_language_keeps_prior_row(spark, score_df):
+    """A language whose entire fit slice is shorter than n chars yields
+    ZERO n-grams; it must still appear in the model (prior + uniform
+    smoothed logp = ln(k / (0 + k*B))) so every document scores every
+    language — the inner-join form dropped it entirely (r4 advisor)."""
+    rows = SEED_DOCS + [("zz", "ab"), ("zz", "x")]  # all < 3 chars
+    seed = spark.createDataFrame(rows, "lang string, text string")
+    model = langid_fit(seed, 32, n=3, seed=5, add_k=0.5)
+    got = model.filter(F.col("lang") == "zz").collect()
+    assert len(got) == 32  # full dense bucket row survives
+    uniform = math.log(0.5 / (0 + 0.5 * 32))
+    prior = math.log(2 / 6)
+    for r in got:
+        assert abs(r["logp"] - uniform) < 1e-12
+        assert abs(r["prior"] - prior) < 1e-12
+    # and scoring emits a zz row for every document (prior-only on grams=0)
+    scores = langid_scores(score_df, model, 32, n=3, seed=5)
+    per_doc = (
+        scores.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] == 3 for r in per_doc)
+
+
 def test_validation(spark, seed_df):
     with pytest.raises(ValueError):
         char_gram_buckets("text", 8, n=0)

@@ -427,7 +427,7 @@ WET_SAMPLE = (
     "WARC/1.0\r\n"
     "WARC-Type: warcinfo\r\n"
     "WARC-Date: 2024-01-01T00:00:00Z\r\n"
-    "Content-Length: 10\r\n"
+    "Content-Length: 17\r\n"
     "\r\n"
     "isPartOf: CC-MAIN\r\n"
     "\r\n"
@@ -435,7 +435,7 @@ WET_SAMPLE = (
     "WARC-Type: conversion\r\n"
     "WARC-Target-URI: http://example.com/a\r\n"
     "WARC-Date: 2024-01-02T03:04:05Z\r\n"
-    "Content-Length: 22\r\n"
+    "Content-Length: 29\r\n"
     "\r\n"
     "First doc line one.\nLine two.\r\n"
     "\r\n"
@@ -461,7 +461,7 @@ def test_read_wet_keeps_conversion_records(spark, tmp_path):
     assert [r["url"] for r in out] == ["http://example.com/a", "http://example.org/b"]
     assert out[0]["text"] == "First doc line one.\nLine two."
     assert out[1]["text"] == "Second doc."
-    assert out[0]["content_length"] == 22
+    assert out[0]["content_length"] == 29
     assert out[0]["warc_date"] == "2024-01-02T03:04:05Z"
     # ids are stable content hashes, not layout-dependent counters
     ids = {r["doc_id"] for r in out}
@@ -493,6 +493,65 @@ def test_read_wet_keep_all_records_isolates_malformed(spark, tmp_path):
     assert types == ["?", "conversion", "conversion", "warcinfo"]
     bad = [r for r in rec if r["record_type"] is None and r["_raw"].strip()]
     assert bad and bad[0]["text"] is None and bad[0]["url"] is None
+
+
+def test_read_wet_payload_mentioning_warc_version_stays_whole(spark, tmp_path):
+    """The record delimiter is the FULL framing (CRLF CRLF + version line),
+    not the bare 'WARC/1.0' token — a page ABOUT web archives (Common
+    Crawl contains them) must come back as ONE untruncated document."""
+    from ocr_spark.sources.warc import read_wet
+
+    payload = "The WARC/1.0 format begins every record with WARC/1.0 on line 1."
+    sample = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://archive.example/about\r\n"
+        "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n" + payload + "\r\n\r\n"
+    )
+    p = tmp_path / "mention.warc.wet"
+    p.write_text(sample)
+    out = read_wet(spark, str(p)).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == payload
+
+
+def test_read_wet_forged_framing_quarantined_not_truncated(spark, tmp_path):
+    """A payload that embeds the COMPLETE record framing still splits at
+    the reader (it is byte-identical to a real boundary), but the first
+    fragment then declares more Content-Length octets than it carries —
+    the cross-check must EXCLUDE it from the default stream (silent
+    truncation was the r4 advisor finding) and surface it with
+    length_ok=false in the forensics stream."""
+    from ocr_spark.sources.warc import read_wet
+
+    forged = "before the forgery\r\n\r\nWARC/1.0\r\nafter the forgery"
+    sample = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://evil.example/forged\r\n"
+        "WARC-Date: 2024-03-02T00:00:00Z\r\n"
+        f"Content-Length: {len(forged)}\r\n"
+        "\r\n" + forged + "\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://good.example/ok\r\n"
+        "WARC-Date: 2024-03-02T00:00:01Z\r\n"
+        "Content-Length: 8\r\n"
+        "\r\n"
+        "all good\r\n\r\n"
+    )
+    p = tmp_path / "forged.warc.wet"
+    p.write_text(sample)
+    out = read_wet(spark, str(p)).collect()
+    # only the honest record survives; neither forged fragment leaks
+    assert [r["url"] for r in out] == ["http://good.example/ok"]
+    assert out[0]["text"] == "all good"
+    forensics = read_wet(spark, str(p), keep_all_records=True).collect()
+    bad = [r for r in forensics if r["length_ok"] is False]
+    assert len(bad) == 1 and bad[0]["url"] == "http://evil.example/forged"
+    assert bad[0]["text"] == "before the forgery"  # visibly truncated
 
 
 def test_wet_record_columns_lf_only_and_column_reuse(spark):

@@ -213,3 +213,46 @@ def test_blocklist_filter_plan_broadcasts_and_never_distincts_stream(spark):
     assert "HashAggregate" in plan
     got = {r["doc_id"]: r["blocked"] for r in out.collect()}
     assert all(got[i] == (i % 9 == 3) for i in range(200))
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced ``lambdafunction(...)`` substrings of a plan string (the
+    plan prints one giant line per Project, so line-level greps can't tell
+    'lambda in this projection' from 'expression INSIDE the lambda')."""
+    out, i = [], 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return out
+        k, depth = j + len("lambdafunction("), 1
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[j:k])
+        i = k
+
+
+def test_blocklist_suffix_lambda_touches_only_materialized_labels(spark):
+    """The suffix transform lambda must reference the materialized
+    __labels attribute, never the normalize_url+url_domain regexp chain:
+    Catalyst re-inlines aliased expressions into HOF lambda bodies (no
+    CSE there), which would re-canonicalize the URL once PER SUFFIX
+    (r4 advisor finding)."""
+    from ocr_spark.operators.web import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://ads.example.com/x?utm_a=1")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = (
+        blocklist_filter(docs, bl)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for body in _lambda_bodies(plan):
+        assert "regexp" not in body.lower(), body[:300]
+        assert "split(" not in body, body[:300]
