@@ -1744,76 +1744,37 @@ def q_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the correctness driver checks the FIRST 50
-    # entries against the DuckDB oracle.  Gates that have never had a driver
-    # row (the flagship extraction_pipeline, the curation/mixing family,
-    # W1-W3) lead; long-stable single-function gates with two consecutive
-    # rounds of green driver rows (r2+r3) are rotated to positions 51-71 —
-    # they remain covered by tests/test_entry_parity.py (all 71).
+    # entries against the DuckDB oracle.  Round-5 rotation (VERDICT r4 #6):
+    # the three r4 hash-red gates stay in until proven green, every gate
+    # touched by this round's operator changes joins them, then the 33
+    # r3-only gates whose driver evidence is now two rounds old; the 33
+    # r4-green gates with fresh rows rotate to positions 51-83.
     return {
-        # --- never driver-checked (rotated into the 50-row window, r4) ---
-        "extraction_pipeline": q_extraction_pipeline,
-        "embeddings_pipeline": q_embeddings_pipeline,
-        "html_boilerplate": q_html_boilerplate,
-        "html_blocks": q_html_blocks,
-        "layout_regions": q_layout_regions,
-        "reading_order": q_reading_order,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "repetition_stats": q_repetition_stats,
-        "gopher_quality": q_gopher_quality,
+    # --- r4 hash-red gates, fixed by the word-split contract pin ---
         "token_entropy": q_token_entropy,
         "chunk_dedup": q_chunk_dedup,
-        "pii_redact": q_pii_redact,
         "curation_pipeline": q_curation_pipeline,
-        "decontaminate": q_decontaminate,
-        "weighted_mix": q_weighted_mix,
-        "split_corpus": q_split_corpus,
-        "top_ngrams": q_top_ngrams,
-        "quantized_topk": q_quantized_topk,
-        "dedup_lines": q_dedup_lines,
-        "lm_quality": q_lm_quality,
-        "pack_sequences": q_pack_sequences,
-        "url_canonical": q_url_canonical,
-        "domain_cap": q_domain_cap,
-        # r4: hashed linear quality classifier + SemDeDup (new this round —
-        # inside the driver's 50-row window; the two rotated past 50 to make
-        # room, ivf_topk and pdf_pages, have two rounds of green driver rows)
-        "classifier_quality": q_classifier_quality,
-        "semdedup_keep": q_semdedup,
-        # r4 late: DSIR importance resampling (new — inside the window; the
-        # two rotated past 50 to make room, extreme_pair and event_windows,
-        # have green r3 driver rows)
-        "dsir_scores": q_dsir_scores,
-        "dsir_select": q_dsir_select,
-        "url_blocklist": q_blocklist,
-        "perplexity_buckets": q_perplexity_buckets,
-        # r4 late: ExactSubstr dedup + WET source parsing (new — inside the
-        # window; media_meta and ann_topk, rotated past 50 to make room,
-        # have green r2+r3 driver rows)
-        "substr_dedup": q_substr_dedup,
+    # --- operators changed this round (WARC framing, langid
+    #     zero-gram left-join, blocklist lambda materialization,
+    #     SemDeDup giant-cell sub-blocking, perplexity empty guard) ---
         "wet_parse": q_wet_parse,
-        # r4 late: trained char-trigram language ID (new — inside the
-        # window; winnow_overlap and simhash_dups, rotated past 50 to make
-        # room, have green r2+r3 driver rows)
         "langid_scores": q_langid_scores,
         "langid_predict": q_langid_predict,
-        # --- structurally important gates kept inside the window ---
-        "t6_layout": q_t6_layout,
-        "span_reconstruct": q_span_reconstruct,
-        "problems_grammar": q_problems_grammar,
-        "problems_markdown": q_problems_markdown,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "token_stats": q_token_stats,
-        "lang_detect": q_lang_detect,
-        "quality_score": q_quality_score,
-        "topk_similar": q_topk_similar,
-        "topk_per_query": q_topk_per_query,
-        "allpairs_label_counts": q_allpairs_label_counts,
-        "topk_per_group": q_topk_per_group,
-        "head_tail": q_head_tail,
-        "markdown_render": q_markdown_render,
-        "fingerprint_dups": q_fingerprint_dups,
+        "semdedup_keep": q_semdedup,
+        "url_blocklist": q_blocklist,
+        "perplexity_buckets": q_perplexity_buckets,
+    # --- r4-green gates whose shared word-split stage changed in the
+    #     contract pin (re-verify under the new tokenizer) ---
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "lm_quality": q_lm_quality,
+        "top_ngrams": q_top_ngrams,
+        "substr_dedup": q_substr_dedup,
+        "classifier_quality": q_classifier_quality,
+        "dsir_scores": q_dsir_scores,
+        "pack_sequences": q_pack_sequences,
+    # --- r3-green gates rotated back in (oldest driver evidence:
+    #     their last row is two rounds old) ---
         "winnow_overlap": q_winnow_overlap,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
@@ -1824,7 +1785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "ivf_topk": q_ivf_topk,
         "pdf_pages": q_pdf_pages,
-        # --- rotated out (green driver rows in r2 AND r3; parity-pinned) ---
         "t4_math_rewrite": q_t4_math_rewrite,
         "t5_figure_tags": q_t5_figure_tags,
         "t13_question_id": q_t13_question_id,
@@ -1848,6 +1808,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_block": q_json_block,
         "base64_mime": q_base64_mime,
         "stride_sample": q_stride_sample,
+    # --- rotated out this round (green driver rows in r4; every gate
+    #     stays covered by tests/test_entry_parity.py) ---
+        "extraction_pipeline": q_extraction_pipeline,
+        "embeddings_pipeline": q_embeddings_pipeline,
+        "html_boilerplate": q_html_boilerplate,
+        "html_blocks": q_html_blocks,
+        "layout_regions": q_layout_regions,
+        "reading_order": q_reading_order,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "weighted_mix": q_weighted_mix,
+        "split_corpus": q_split_corpus,
+        "quantized_topk": q_quantized_topk,
+        "dedup_lines": q_dedup_lines,
+        "url_canonical": q_url_canonical,
+        "domain_cap": q_domain_cap,
+        "dsir_select": q_dsir_select,
+        "t6_layout": q_t6_layout,
+        "span_reconstruct": q_span_reconstruct,
+        "problems_grammar": q_problems_grammar,
+        "problems_markdown": q_problems_markdown,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "token_stats": q_token_stats,
+        "lang_detect": q_lang_detect,
+        "quality_score": q_quality_score,
+        "topk_similar": q_topk_similar,
+        "topk_per_query": q_topk_per_query,
+        "allpairs_label_counts": q_allpairs_label_counts,
+        "topk_per_group": q_topk_per_group,
+        "head_tail": q_head_tail,
+        "markdown_render": q_markdown_render,
+        "fingerprint_dups": q_fingerprint_dups,
     }
 
 

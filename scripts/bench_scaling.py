@@ -173,6 +173,14 @@ JOBS = {{
         spark.read.parquet(corpus + "_qemb").select("doc_id", "embedding"),
         n_cells=4096, threshold=0.8, n_iter=0, blas=True, materialize=True,
     ),
+    # the giant-cell defense under adversarial skew: 10% of the corpus is
+    # ONE planted duplicate direction (50k identical vectors at 500k ->
+    # one cell 400x the mean), which the plain cell-keyed self-join would
+    # scan as O(m^2) pairs in ONE task. max_cell_size=4096 salts the hot
+    # cell into ceil(50k/4096)=13 blocks -> 91 bounded block-pair BLAS
+    # tasks emitting per-doc witness partials; the 4096 cold cells stay on
+    # the expression self-join path
+    "semdedupskew": lambda: _semdedup_skew_job(),
     # domain share cap over synthesized skew (one domain holds ~80% of the
     # corpus): count + broadcast-back join + ROW-LOCAL keep decision — the
     # no-window scale path under exactly the skew it exists for
@@ -230,6 +238,21 @@ def _quantized_batch(n_queries):
     ]
     return reduce(lambda a, b: a.unionByName(b), legs)
 
+def _semdedup_skew_job():
+    qemb = spark.read.parquet(corpus + "_qemb").select("doc_id", "embedding")
+    hot = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0
+    hotvec = F.array(
+        *[F.lit(float(math.sin(i + 1))) for i in range(64)]
+    ).cast("array<float>")
+    emb = qemb.select(
+        "doc_id",
+        F.when(hot, hotvec).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    return semdedup(
+        emb, n_cells=4096, threshold=0.8, n_iter=0, blas=True,
+        materialize=True, max_cell_size=4096,
+    )
+
 def _lm_quality_job():
     texts = spark.read.parquet(corpus + "_text")
     lm, unseen = unigram_lm(texts)
@@ -280,6 +303,7 @@ SPLIT_BYTES = {{"simhash": 1024 * 1024,
                "substrdedup": 1024 * 1024,
                # qemb again: wide rows, scan feeds the Arrow assign UDF
                "semdedup": 4 * 1024 * 1024,
+               "semdedupskew": 4 * 1024 * 1024,
                # qemb rows are wide (float + int8 vector per doc): 4 MiB
                # keeps the scan-dominated job at tasks >> cores without
                # thousands of near-empty scan tasks at 4N
@@ -318,6 +342,7 @@ ADVISORY_BYTES = {{"simhash": 16 * 1024 * 1024,
                   # cores at 4N (same granularity artifact as chunkdedup)
                   "classify": 4 * 1024 * 1024,
                   "semdedup": 4 * 1024 * 1024,
+                  "semdedupskew": 4 * 1024 * 1024,
                   "urlcap": 4 * 1024 * 1024,
                   "dsir": 4 * 1024 * 1024,
                   "langid": 4 * 1024 * 1024,
@@ -469,7 +494,7 @@ def main() -> None:
         ).format(repo=REPO, corpus=corpus)
         subprocess.run([sys.executable, "-c", gen3], check=True, cwd=REPO)
 
-    if sel & {"quantized", "semdedup"} and not os.path.exists(
+    if sel & {"quantized", "semdedup", "semdedupskew"} and not os.path.exists(
         os.path.join(corpus + "_qemb", "_SUCCESS")
     ):
         # persisted int8 table (qvec/qscale + float embedding) — the
@@ -498,7 +523,8 @@ def main() -> None:
         for j in ("extract", "dedup", "ann", "boilerplate", "layout", "simhash",
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
                   "lmquality", "packseq", "quantized", "classify",
-                  "semdedup", "urlcap", "dsir", "substrdedup", "langid")
+                  "semdedup", "semdedupskew", "urlcap", "dsir",
+                  "substrdedup", "langid")
         if j in low and j in high
     ]
     job_eff = {
@@ -536,6 +562,7 @@ def main() -> None:
         "quantized": "int8 quantized top-k (stored qvec scan + rescore)",
         "classify": "hashed linear classifier (joined path, 2^18 buckets)",
         "semdedup": "SemDeDup (BLAS assign, cell-local cosine pairs)",
+        "semdedupskew": "SemDeDup + planted 50k-identical hot cell (sub-blocked)",
         "urlcap": "domain share cap (row-local thinning under 80% skew)",
         "dsir": "DSIR importance scoring (2-corpus fit + broadcast-llr join)",
         "substrdedup": "ExactSubstr dedup (dual-hash window keeper + rebuild)",
