@@ -668,7 +668,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.cluster import semdedup
 
     emb = _emb_table(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
-    out = semdedup(emb, n_cells=8, threshold=0.4, n_iter=0)
+    # materialize=True (localCheckpoint) is value-identical and runs the
+    # broadcast assignment once instead of once per plan branch (the gate
+    # plan has five: both join sides, the verdict join, the cell-size
+    # count, and the giant-cell split) — measured 6.4 -> ~3 s at sf0.1
+    out = semdedup(emb, n_cells=8, threshold=0.4, n_iter=0, materialize=True)
     return out.select("doc_id", "cell", "keep").orderBy("doc_id")
 
 
@@ -905,6 +909,10 @@ def q_wet_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["warc_date"].alias("warc_date"),
         cols["content_length"].alias("content_length"),
         F.md5(F.coalesce(cols["text"], F.lit(""))).alias("text_md5"),
+        # the synthesis declares Content-Length in CHARACTERS (a realistic
+        # producer bug), so multibyte documents fail the octet cross-check
+        # while ASCII ones pass — both length_ok verdicts are exercised
+        cols["length_ok"].alias("length_ok"),
     ).orderBy("doc_id")
 
 
@@ -3284,7 +3292,13 @@ def oracle_sql() -> dict[str, str]:
                '2024-01-0' || cast(doc_id % 9 + 1 as varchar)
                  || 'T00:00:00Z' as warc_date,
                cast(length(t) as bigint) as content_length,
-               md5(regexp_replace(t, '(\r?\n)+$', '')) as text_md5
+               md5(regexp_replace(t, '(\r?\n)+$', '')) as text_md5,
+               -- length_ok: declared octets must bracket the parsed payload
+               -- (strlen = BYTE length; the record body is t + 4 CRLF CRLF
+               -- framing bytes; declared is length(t) = CHARACTERS, so any
+               -- multibyte text under-declares and fails)
+               (strlen(regexp_replace(t, '(\r?\n)+$', '')) <= length(t)
+                and length(t) <= strlen(t) + 4) as length_ok
         from d order by doc_id
     """
     sql["curation_pipeline"] = r"""
