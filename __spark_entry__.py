@@ -676,11 +676,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cell", "keep").orderBy("doc_id")
 
 
-# the two DSIR gates share one fit+score: memoized per (session, sf_dir) as
-# an eager localCheckpoint (value-identical — every stage is deterministic),
-# so the driver's back-to-back dsir_scores/dsir_select invocations pay the
-# two corpus-fit scans once instead of twice
-_DSIR_SCORED_MEMO: dict = {}
+# gate pairs that share an expensive model-fit upstream (DSIR, langid, the
+# CCNet LM) memoize it per (session, name, sf_dir) as an eager
+# localCheckpoint — value-identical (every stage is deterministic), and the
+# driver's back-to-back invocations pay the corpus-fit scans once, not twice
+_GATE_MEMO: dict = {}
+
+
+def _memo_checkpoint(spark: SparkSession, key, build) -> DataFrame:
+    k = (spark, key)
+    got = _GATE_MEMO.get(k)
+    if got is None:
+        got = build().localCheckpoint()
+        _GATE_MEMO[k] = got
+    return got
 
 
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,18 +699,14 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB replays the whole fit + scoring bit-for-bit."""
     from ocr_spark.operators.dsir import dsir_log_ratios, dsir_score
 
-    key = (spark, sf_dir)
-    cached = _DSIR_SCORED_MEMO.get(key)
-    if cached is not None:
-        return cached
+    def build():
+        docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+        target = docs.filter(F.col("doc_id") % 11 == 0)
+        raw = docs.filter(F.col("doc_id") % 11 != 0)
+        llr = dsir_log_ratios(target, raw, 32, ns=(1, 2), seed=3, add_k=0.5)
+        return dsir_score(raw, llr, 32, ns=(1, 2), seed=3)
 
-    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 11 == 0)
-    raw = docs.filter(F.col("doc_id") % 11 != 0)
-    llr = dsir_log_ratios(target, raw, 32, ns=(1, 2), seed=3, add_k=0.5)
-    scored = dsir_score(raw, llr, 32, ns=(1, 2), seed=3).localCheckpoint()
-    _DSIR_SCORED_MEMO[key] = scored
-    return scored
+    return _memo_checkpoint(spark, ("dsir", sf_dir), build)
 
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,14 +829,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=256, n_shards=8).orderBy("doc_id")
 
 
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared upstream of the two CCNet-LM gates: unigram LM (add-0.5
+    smoothing) built from the corpus itself, per-doc cross-entropy in
+    nats."""
+    from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
+
+    def build():
+        docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+        lm, unseen = unigram_lm(docs, add_k=0.5)
+        return lm_cross_entropy(docs, lm, unseen_logp=unseen)
+
+    return _memo_checkpoint(spark, ("lm", sf_dir), build)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: unigram LM (add-0.5 smoothing) built
     from the corpus itself, per-doc cross-entropy in nats."""
-    from ocr_spark.operators.curation import lm_cross_entropy, unigram_lm
-
-    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
-    lm, unseen = unigram_lm(docs, add_k=0.5)
-    out = lm_cross_entropy(docs, lm, unseen_logp=unseen)
+    out = _lm_scored(spark, sf_dir)
     return out.select(
         "doc_id", "n_words", F.round("cross_entropy", 4).alias("cross_entropy")
     ).orderBy("doc_id")
@@ -843,15 +858,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrorable ``percentile`` form; production passes explicit or
     sketched thresholds), row-local labeling, doc at a threshold goes to
     the lower bucket."""
-    from ocr_spark.operators.curation import (
-        lm_cross_entropy,
-        perplexity_buckets,
-        unigram_lm,
-    )
+    from ocr_spark.operators.curation import perplexity_buckets
 
-    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
-    lm, unseen = unigram_lm(docs, add_k=0.5)
-    scored = lm_cross_entropy(docs, lm, unseen_logp=unseen).localCheckpoint()
+    scored = _lm_scored(spark, sf_dir)
     out = perplexity_buckets(scored, exact=True)
     return out.select(
         "doc_id",
@@ -956,16 +965,25 @@ def _langid_inputs(spark: SparkSession, sf_dir: str):
     return fit, score
 
 
+def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fit+score upstream of the two langid gates (the per-char
+    md5 gram stream is the expensive part — pay it once)."""
+    from ocr_spark.operators.langid import langid_fit, langid_scores
+
+    def build():
+        fit, score = _langid_inputs(spark, sf_dir)
+        model = langid_fit(fit, 64, n=3, seed=9, add_k=0.5)
+        return langid_scores(score, model, 64, n=3, seed=9)
+
+    return _memo_checkpoint(spark, ("langid", sf_dir), build)
+
+
 def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(doc, language) naive-Bayes log-scores from the trained hashed
     char-trigram model (operators/langid, CCNet §4.2's lid stage): 64 md5
     buckets, add-0.5 smoothing, doc-count priors — every stage replayed
     bit-for-bit by the oracle."""
-    from ocr_spark.operators.langid import langid_fit, langid_scores
-
-    fit, score = _langid_inputs(spark, sf_dir)
-    model = langid_fit(fit, 64, n=3, seed=9, add_k=0.5)
-    out = langid_scores(score, model, 64, n=3, seed=9)
+    out = _langid_scored(spark, sf_dir)
     return out.select(
         "doc_id", "lang", "n_grams", F.round("score", 4).alias("score")
     ).orderBy("doc_id", "lang")
@@ -976,15 +994,9 @@ def q_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side max-struct aggregation (never a window), scores rounded 6dp
     for the comparison with exact ties breaking to the smallest language
     in BOTH engines."""
-    from ocr_spark.operators.langid import (
-        langid_fit,
-        langid_predict,
-        langid_scores,
-    )
+    from ocr_spark.operators.langid import langid_predict
 
-    fit, score = _langid_inputs(spark, sf_dir)
-    model = langid_fit(fit, 64, n=3, seed=9, add_k=0.5)
-    out = langid_predict(langid_scores(score, model, 64, n=3, seed=9))
+    out = langid_predict(_langid_scored(spark, sf_dir))
     return out.select(
         "doc_id", "lang", F.round("score", 4).alias("score")
     ).orderBy("doc_id")
