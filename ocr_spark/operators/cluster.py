@@ -349,6 +349,19 @@ def _oversize_cell_witnesses(
         out = pd.concat([_mins(ids_a, ids_b, mask), _mins(ids_b, ids_a, mask.T)])
         return out if len(out) else _empty()
 
+    # Pin the kernel's shuffle width: a block-pair GROUP is the atomic unit
+    # of BLAS work here, and AQE coalesces this exchange by bytes WRITTEN —
+    # which on exactly the corpus this path exists for (near-duplicate mass
+    # = highly repetitive vectors) lz4-compresses far below the advisory,
+    # collapsing ~91 groups into a handful of giant tasks (measured: 9
+    # tasks at 8 cores = 1.1 ragged waves, ~10 serial matmuls in the tail
+    # task). REPARTITION_BY_NUM is AQE-exempt and HashPartitioning on the
+    # full group key satisfies the applyInPandas ClusteredDistribution, so
+    # no second exchange is inserted. 4x the session width keeps the
+    # expected max groups-per-task near 1 without unbounded empty tasks.
+    from ocr_spark.operators.curation import _pinned_partitions
+
+    rep = rep.repartition(4 * _pinned_partitions(rep), "cell", "__bi", "__bj")
     return rep.groupBy("cell", "__bi", "__bj").applyInPandas(
         _block, schema=out_schema
     )
