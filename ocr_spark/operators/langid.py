@@ -60,11 +60,12 @@ def char_gram_buckets(
     hash_family: str = "md5",
 ) -> Column:
     """Array of hash buckets of the lowercased char ``n``-grams of a text
-    column (null text -> empty array). The input expression is referenced
-    from a per-gram lambda, so pass a PLAIN COLUMN (attribute), not an
-    expensive expression — Catalyst re-inlines outer-scope expressions
-    into lambda bodies (no CSE; the word_shingles lesson). The fit/score
-    paths materialize the lowered text first (:func:`_gram_stream`)."""
+    column (null text -> empty array). The gram build is all
+    argument-level (:func:`_char_grams`) — nothing expensive is
+    referenced from a lambda body, so any input expression is evaluated
+    O(n) times per ROW, never per gram. The fit/score paths still
+    materialize the lowered text first (:func:`_gram_stream`) so the
+    ``lower``/``coalesce`` runs once."""
     if n < 1:
         raise ValueError("n must be >= 1")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -87,14 +88,46 @@ def _bucket_of(gram: Column, n_buckets: int, seed: int, hash_family: str) -> Col
     raise ValueError(f"unknown hash_family: {hash_family!r} (md5|xxhash)")
 
 
-def _grams_of(t: Column, n_buckets: int, n: int, seed: int, hash_family: str = "md5") -> Column:
-    count = F.length(t) - (n - 1)
-    # sequence(1, 0) steps DOWNWARD — guard short texts explicitly
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
+def _char_grams(t: Column, n: int) -> Column:
+    """Array of the ``n``-code-point substrings of ``t``, built in
+    O(n·len) per row: one ``split`` into a char array plus ``n-1``
+    ``zip_with`` folds against argument-level shifted ``slice``\\ s.
+
+    The obvious sliding form — ``transform(sequence(1, len-n+1),
+    i -> t.substr(i, n))`` — is **O(len²) per document**:
+    ``UTF8String.substring`` walks from byte 0 to locate the ``i``-th
+    code point on every call, and a corpus ``Σ len²`` is dominated by
+    its heaviest documents (a 500 KB doc alone cost ~20 CPU-minutes in
+    ONE task of the r5 langid scaling leg — thread-dumped straggling in
+    ``UTF8String.substring``). Array ARGUMENTS of ``zip_with``/
+    ``transform``/``filter`` are evaluated once per row; only lambda
+    bodies get re-inlined (the no-CSE pitfall), and these lambdas touch
+    nothing but their own element vars.
+
+    ``zip_with`` pads the shorter (shifted) side with null and
+    ``concat`` null-propagates, so the trailing ``n-1`` entries are null
+    padding — a real gram (concat of non-null single chars) is never
+    null, so ``filter(isNotNull)`` trims exactly the padding. The
+    ``length >= n`` guard covers ``n == 1`` over empty text, where
+    ``split('', '') == ['']`` would otherwise emit one empty gram.
+    Equality with the sliding-substr form (incl. astral plane, combining
+    accents, NULs, zero-width chars) is pinned by
+    ``test_char_grams_match_sliding_substr``."""
+    chars = F.split(t, "")
+    g = chars
+    for j in range(1, n):
+        shifted = F.slice(chars, j + 1, F.greatest(F.size(chars) - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, b))
+    grams = F.filter(g, lambda x: x.isNotNull())
+    return F.when(F.length(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def _grams_of(t: Column, n_buckets: int, n: int, seed: int, hash_family: str = "md5") -> Column:
     return F.transform(
-        idx, lambda i: _bucket_of(t.substr(i, F.lit(n)), n_buckets, seed, hash_family)
+        _char_grams(t, n),
+        lambda gram: _bucket_of(gram, n_buckets, seed, hash_family),
     )
 
 

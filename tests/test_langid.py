@@ -211,3 +211,46 @@ def test_xxhash_family_same_predictions(spark, seed_df, score_df):
     assert got[1] == "en" and got[2] == "xx"
     with pytest.raises(ValueError):
         langid_fit(seed_df, 64, hash_family="sha9000")
+
+
+def test_char_grams_match_sliding_substr(spark):
+    """_char_grams (split + argument-level zip_with folds, O(n*len)) must
+    be byte-exact with the sliding-substr form it replaced — which was
+    O(len^2) per doc (UTF8String.substring walks from byte 0 to find the
+    i-th code point; the heaviest docs dominate a corpus sum of len^2 and
+    straggled the r5 scaling leg for 20+ CPU-minutes in one task).
+    Includes the adversarial surfaces where code-point vs code-unit vs
+    byte indexing could diverge: astral plane (UTF-16 surrogate pairs),
+    combining accents, NULs, zero-width chars, CJK, short/empty texts."""
+    from ocr_spark.operators.langid import _char_grams
+
+    cases = [
+        "hello world",
+        "",
+        "a",
+        "ab",
+        "abc",
+        "\U0001d11e\U0001d11exy",
+        "ééabc",
+        "\r\n\x0b\f mixed \t ws",
+        "  　nbspace",
+        "日本語のテキスト",
+        "mixed \U0001d11e astral café",
+        "\x00nul\x00bytes",
+        "zero​width‍join",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id int, t string"
+    )
+    t = F.col("t")
+    for n in (1, 2, 3, 4):
+        cnt = F.length(t) - (n - 1)
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        sliding = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+        rows = df.select(
+            "id", sliding.alias("old"), _char_grams(t, n).alias("new")
+        ).collect()
+        for r in rows:
+            assert r["old"] == r["new"], (n, cases[r["id"]], r["old"], r["new"])
