@@ -41,15 +41,50 @@ def whitespace_token_count(col: Column | str) -> Column:
     return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(NON_WS_RUN))
 
 
+# Frozen cross-engine Unicode contract (uniconst is GENERATED — see
+# scripts/gen_unicode_contract.py): engine \p{L}/\p{N} and lower() are
+# version quicksand (JDK 17 vs RE2 disagree on codepoints assigned or
+# re-mapped between their Unicode versions — U+10571 is \p{L} only in
+# RE2 yet lowercased only by Java; U+0130 lowers 1:2 in Java, 1:1 in
+# DuckDB). Every value-exact surface uses these literals instead.
+from ocr_spark.functions.uniconst import (  # noqa: E402
+    DIGIT_CLASS_BODY,
+    FOLD_FROM,
+    FOLD_TO,
+    LETTER_CLASS_BODY,
+)
+
+LETTER_CLASS = "[" + LETTER_CLASS_BODY + "]"
+DIGIT_CLASS = "[" + DIGIT_CLASS_BODY + "]"
+
 # BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
 # symbols — the GPT-2-style pretoken boundary classes, minus lookaheads.
-# Whitespace is the explicit shared class (WS_CHARS), not engine \s.
-BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}" + WS_CHARS + "]"
+# Whitespace is the explicit shared class (WS_CHARS); letters/digits are
+# the FROZEN intersection classes, never engine \p{L}/\p{N} (a codepoint
+# adjacent to a letter run that one engine classifies as a letter and the
+# other as a symbol splits the run in one engine only — measured on
+# U+10571 before the freeze).
+BPE_TOKEN_RE = (
+    "[" + LETTER_CLASS_BODY + "]+|[" + DIGIT_CLASS_BODY + "]+|"
+    "[^" + LETTER_CLASS_BODY + DIGIT_CLASS_BODY + WS_CHARS + "]"
+)
+
+
+def fold_lower(col: Column | str) -> Column:
+    """Portable case fold: ``translate`` over the FROZEN agreement set of
+    Java's and DuckDB's ``lower()`` (1:1 mappings both engines produce
+    identically; disputed codepoints fold to themselves). Identical to
+    ``lower()`` on ASCII and on every ordinary cased script; differs only
+    where the engines differ from EACH OTHER — which is exactly where
+    ``lower()`` must not sit on a value-exact surface. 1:1 by
+    construction, so ``length(fold_lower(x)) == length(x)``.
+    SQL twin: ``translate(x, FOLD_FROM, FOLD_TO)``."""
+    return F.translate(F.coalesce(_c(col), F.lit("")), FOLD_FROM, FOLD_TO)
 
 
 def bpe_token_count(col: Column | str) -> Column:
     """Regex-token count approximating BPE pre-tokenization (native
-    regexp_count — Java regex supports \\p{L}/\\p{N} classes)."""
+    regexp_count over the frozen letter/digit classes)."""
     return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(BPE_TOKEN_RE))
 
 
@@ -109,10 +144,9 @@ def quality_score(col: Column | str) -> Column:
 
 
 def doc_fingerprint(col: Column | str) -> Column:
-    """Stable 64-bit whole-document fingerprint over normalized text."""
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), WS_CLASS + "+", " ")
-    )
+    """Stable 64-bit whole-document fingerprint over normalized text
+    (portable fold — the fingerprint is a value-exact gate surface)."""
+    norm = F.trim(F.regexp_replace(fold_lower(col), WS_CLASS + "+", " "))
     return F.xxhash64(norm)
 
 
@@ -121,9 +155,7 @@ def rolling_fingerprints(col: Column | str, window: int = 8) -> Column:
     sliding chunk — array<long>, native. Feed to ``array_min`` for a
     winnowed doc signature or explode for chunk-level matching."""
     words = F.split(
-        F.trim(
-            F.regexp_replace(F.lower(F.coalesce(_c(col), F.lit(""))), WS_CLASS + "+", " ")
-        ),
+        F.trim(F.regexp_replace(fold_lower(col), WS_CLASS + "+", " ")),
         " ",
     )
     n = F.size(words)

@@ -253,8 +253,13 @@ def gopher_quality(
 
     mean_len = F.length(F.regexp_replace(F.coalesce(F.col("_t"), F.lit("")), WS_CLASS, "")) / nz
     symbols = F.regexp_count(F.coalesce(F.col("_t"), F.lit("")), F.lit(r"#|\.\.\.|…"))
-    alpha_words = F.size(F.filter(F.col("words"), lambda w: w.rlike(r"\p{L}")))
-    stops = F.size(F.filter(F.col("words"), lambda w: F.lower(w).isin(*stopwords)))
+    # frozen letter class + portable fold, never engine \p{L} / lower():
+    # the engines' Unicode tables disagree on recently-assigned codepoints
+    # (value-exact gate surface — the uniconst contract)
+    from ocr_spark.functions.textstats import LETTER_CLASS, fold_lower
+
+    alpha_words = F.size(F.filter(F.col("words"), lambda w: w.rlike(LETTER_CLASS)))
+    stops = F.size(F.filter(F.col("words"), lambda w: fold_lower(w).isin(*stopwords)))
     out = d.select(
         F.col("_id").alias(id_col),
         *([F.col("_t").alias(text_col)] if carry_text else []),

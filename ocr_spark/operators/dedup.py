@@ -21,13 +21,16 @@ from ocr_spark.functions.textstats import WS_CLASS
 
 
 def normalized_text(col: Column | str) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace, trim.
+    """Canonical form for exact dedup: case-fold, collapse whitespace, trim.
 
     Whitespace is the explicit shared class (textstats.WS_CLASS), never the
-    engine-default ``\\s`` — this column feeds value-exact cross-engine
-    comparisons."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
+    engine-default ``\\s``, and the fold is the FROZEN portable fold
+    (textstats.fold_lower), never engine ``lower()`` — this column feeds
+    value-exact cross-engine comparisons, and the engines' lower() tables
+    disagree on codepoints re-mapped between their Unicode versions."""
+    from ocr_spark.functions.textstats import fold_lower
+
+    return F.trim(F.regexp_replace(fold_lower(col), WS_CLASS + "+", " "))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -68,9 +68,9 @@ def char_gram_buckets(
     ``lower``/``coalesce`` runs once."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.lower(F.coalesce(c, F.lit("")))
-    return _grams_of(t, n_buckets, n, seed, hash_family)
+    from ocr_spark.functions.textstats import fold_lower
+
+    return _grams_of(fold_lower(text_col), n_buckets, n, seed, hash_family)
 
 
 def _bucket_of(gram: Column, n_buckets: int, seed: int, hash_family: str) -> Column:
@@ -140,12 +140,13 @@ def _gram_stream(
     id_cols: tuple[str, ...],
     hash_family: str = "md5",
 ) -> DataFrame:
-    # materialize the lowered text as a REAL column before the gram
-    # lambda touches it: an inline lower(coalesce(...)) would be
-    # re-inlined into the lambda body and recopied per gram (O(len^2))
-    prepared = docs.select(
-        *id_cols, F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("__t")
-    )
+    # materialize the folded text as a REAL column before the gram
+    # arguments touch it (one fold per row), using the PORTABLE fold —
+    # engine lower() tables drift across Unicode versions and the gram
+    # bytes feed value-exact md5 bucket oracles (uniconst contract)
+    from ocr_spark.functions.textstats import fold_lower
+
+    prepared = docs.select(*id_cols, fold_lower(text_col).alias("__t"))
     grams = _grams_of(F.col("__t"), n_buckets, n, seed, hash_family)
     return (
         prepared.select(*id_cols, grams.alias("__bs"))
@@ -259,9 +260,12 @@ def langid_scores(
         "n_grams",
         (F.col("prior") + F.col("__ll")).alias("score"),
     )
-    # featureless ⟺ the LOWERED text is shorter than one gram (lower(),
-    # not raw: Unicode case folding can change the char count)
-    lowered_len = F.length(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    # featureless ⟺ the text is shorter than one gram. The portable fold
+    # is 1:1 by construction (fold_lower docstring), so the raw length IS
+    # the folded length — no second fold pass needed here (the engine
+    # lower() this replaced could expand char counts, e.g. U+0130 → 1:2
+    # in Java, which is exactly the drift the frozen fold excludes).
+    lowered_len = F.length(F.coalesce(F.col(text_col), F.lit("")))
     empty = (
         pinned.filter(lowered_len < F.lit(n))
         .select(id_col)

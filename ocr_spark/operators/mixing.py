@@ -91,7 +91,11 @@ def decontaminate(
     shuffled equi-join; every other stage is unchanged, and the training
     gram stream pays one extra exchange on ``gram``.
     """
-    words = words_column(F.lower(F.col(text_col)))
+    # portable fold, not engine lower(): gram text is a value-exact gate
+    # surface and the engines' case tables drift (uniconst contract)
+    from ocr_spark.functions.textstats import fold_lower
+
+    words = words_column(fold_lower(F.col(text_col)))
 
     bench_grams = (
         benchmark.select(words.alias("__w"))

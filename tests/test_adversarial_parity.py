@@ -61,6 +61,51 @@ ADVERSARIAL_TEXTS: list[str | None] = [
 ]
 
 
+def _fuzz_texts(n: int = 64, seed: int = 0x5F5) -> list[str]:
+    """Deterministic seeded random content over the divergence alphabet —
+    the hand-picked cases above cover the KNOWN candidates; this section
+    samples the space between them (random mixes of controls, whitespace
+    runs, lookalikes, combining marks, CJK, emoji, unassigned astral
+    codepoints) so a word-split / float-edge divergence the driver's next
+    corpus rotation would hit has a chance to surface here first. Seeded
+    (never ``random`` module state) — every run builds the identical
+    corpus. Surrogate range excluded (not UTF-8-encodable)."""
+    import random
+
+    rng = random.Random(seed)
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r", "\r\n"]
+    pools = [
+        [chr(c) for c in range(0x20, 0x7F)],                       # ASCII
+        [chr(c) for c in range(0x00, 0x20)] + ["\x7f"],            # controls
+        ["\u00a0", "\u3000", "\u0085", "\u200b", "\u200d",
+         "\ufeff", "\u2007", "\u202f"],                   # lookalikes
+        [chr(c) for c in range(0x00C0, 0x0250)],                   # latin ext
+        [chr(c) for c in range(0x0300, 0x0370)],                   # combining
+        [chr(c) for c in range(0x4E00, 0x4E80)],                   # CJK
+        [chr(rng.randrange(0x1F300, 0x1F650)) for _ in range(32)], # emoji
+        [chr(rng.randrange(0x10000, 0x10FFF)) for _ in range(32)], # astral
+    ]
+    out = []
+    for _ in range(n):
+        words = [
+            "".join(
+                rng.choice(pools[rng.randrange(len(pools))])
+                for _ in range(rng.randrange(1, 9))
+            )
+            for _ in range(rng.randrange(0, 25))
+        ]
+        runs = [
+            "".join(rng.choice(ws) for _ in range(rng.randrange(1, 4)))
+            for _ in range(len(words) + 1)
+        ]
+        s = runs[0] + "".join(w + r for w, r in zip(words, runs[1:]))
+        out.append(s if rng.random() < 0.5 else s.strip())
+    return out
+
+
+ADVERSARIAL_TEXTS += _fuzz_texts()
+
+
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
     """A full sf-layout dir whose documents table is the planted corpus."""
