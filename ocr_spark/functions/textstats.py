@@ -41,32 +41,49 @@ def whitespace_token_count(col: Column | str) -> Column:
     return F.regexp_count(F.coalesce(_c(col), F.lit("")), F.lit(NON_WS_RUN))
 
 
-# Frozen cross-engine Unicode contract (uniconst is GENERATED — see
+# Pinned cross-engine Unicode contract (uniconst is GENERATED — see
 # scripts/gen_unicode_contract.py): engine \p{L}/\p{N} and lower() are
 # version quicksand (JDK 17 vs RE2 disagree on codepoints assigned or
 # re-mapped between their Unicode versions — U+10571 is \p{L} only in
 # RE2 yet lowercased only by Java; U+0130 lowers 1:2 in Java, 1:1 in
-# DuckDB). Every value-exact surface uses these literals instead.
+# DuckDB). The shared table is RE2's, so DuckDB oracles keep the bare
+# (fast) shorthands while the Java classes here add the tiny diff set
+# via class algebra — keeping Java's property-table fast path. A first
+# cut inlined the full 1112-range intersection class instead and Java's
+# linear class-atom walk made token_stats 35× slower at sf0.1.
 from ocr_spark.functions.uniconst import (  # noqa: E402
-    DIGIT_CLASS_BODY,
     FOLD_FROM,
     FOLD_TO,
-    LETTER_CLASS_BODY,
+    JAVA_ONLY_DIGIT_BODY,
+    JAVA_ONLY_LETTER_BODY,
+    RE2_ONLY_DIGIT_BODY,
+    RE2_ONLY_LETTER_BODY,
 )
 
-LETTER_CLASS = "[" + LETTER_CLASS_BODY + "]"
-DIGIT_CLASS = "[" + DIGIT_CLASS_BODY + "]"
+
+def _java_class(prop: str, adds: str, subs: str) -> str:
+    """Java class reproducing an RE2 property table: property ∪ adds ∖ subs
+    (Java supports &&[^…] subtraction; RE2 needs nothing — its bare
+    shorthand IS the table)."""
+    return "[" + prop + adds + ("&&[^" + subs + "]" if subs else "") + "]"
+
+
+LETTER_CLASS = _java_class(r"\p{L}", RE2_ONLY_LETTER_BODY, JAVA_ONLY_LETTER_BODY)
+DIGIT_CLASS = _java_class(r"\p{N}", RE2_ONLY_DIGIT_BODY, JAVA_ONLY_DIGIT_BODY)
 
 # BPE-ish pre-tokenization: letter runs, digit runs, or single non-space
 # symbols — the GPT-2-style pretoken boundary classes, minus lookaheads.
 # Whitespace is the explicit shared class (WS_CHARS); letters/digits are
-# the FROZEN intersection classes, never engine \p{L}/\p{N} (a codepoint
-# adjacent to a letter run that one engine classifies as a letter and the
-# other as a symbol splits the run in one engine only — measured on
-# U+10571 before the freeze).
+# the pinned shared tables (a codepoint adjacent to a letter run that one
+# engine classifies as a letter and the other as a symbol splits the run
+# in one engine only — measured on U+10571 before the pin). The symbol
+# alternative is ¬(letter ∪ digit ∪ ws) over the SHARED tables: negate
+# the Java property classes plus the re2-only additions, then union back
+# the java-only subtractions (they are symbols under the shared table).
 BPE_TOKEN_RE = (
-    "[" + LETTER_CLASS_BODY + "]+|[" + DIGIT_CLASS_BODY + "]+|"
-    "[^" + LETTER_CLASS_BODY + DIGIT_CLASS_BODY + WS_CHARS + "]"
+    LETTER_CLASS + "+|" + DIGIT_CLASS + "+|"
+    "[[^" + r"\p{L}" + RE2_ONLY_LETTER_BODY + r"\p{N}" + RE2_ONLY_DIGIT_BODY
+    + WS_CHARS + "]" + JAVA_ONLY_LETTER_BODY + JAVA_ONLY_DIGIT_BODY + "]"
 )
 
 

@@ -1,4 +1,4 @@
-"""Generate ocr_spark/functions/uniconst.py — the FROZEN cross-engine
+"""Generate ocr_spark/functions/uniconst.py — the PINNED cross-engine
 Unicode contract.
 
 Unicode-property surfaces are engine-version quicksand: JDK 17's regex
@@ -11,23 +11,34 @@ hash flows through lower()/\\p{L}/\\p{N} therefore diverges on content
 containing such codepoints — the same class of failure as the round-4
 whitespace-shorthand drift, one table over.
 
-The fix is the same as the whitespace fix: stop trusting either engine's
-shorthand and spell the contract out ONCE, as literals both engines
-interpret identically:
+Two contract pieces, chosen for both portability AND speed:
 
 * ``FOLD_FROM``/``FOLD_TO`` — the case-fold mapping, as translate()
   argument strings: every codepoint where Java's lower() and DuckDB's
   lower() agree on a single-codepoint result differing from the input.
   Disputed or 1:n codepoints are EXCLUDED (they fold to themselves) —
-  deterministic in both engines forever.
-* ``LETTER_CLASS_BODY``/``DIGIT_CLASS_BODY`` — explicit \\x{..}-range
-  class bodies for the INTERSECTION of Java's and RE2's \\p{L} / \\p{N}.
-  Both engines parse \\x{h..h}; a literal range set cannot drift.
+  deterministic in both engines. translate() is a per-char O(1) map
+  lookup in both engines, so this costs ~what lower() costs.
 
-Run under the pinned environment (pyspark 4.1.2 / duckdb in the image);
-the output is committed, so regeneration is only needed to refresh the
-contract deliberately. Verification (every emitted codepoint round-trips
-identically through BOTH engines) runs as part of generation.
+* ``RE2_ONLY_LETTER_BODY``/``JAVA_ONLY_LETTER_BODY`` (and the _DIGIT_
+  pair) — the tiny per-engine DIFF sets, as \\x{..}-range class bodies.
+  The shared letter table is defined to be **RE2's current \\p{L}**, so
+  the DuckDB oracles keep the plain (fast, native) ``\\p{L}``/``\\p{N}``
+  shorthands, and the Java side reproduces that exact table with class
+  algebra: ``[\\p{L}<re2-only>&&[^<java-only>]]`` — a native property
+  node plus a handful of extra atoms, ~as fast as bare ``\\p{L}``.
+  (A first cut emitted the full 1112-range intersection class instead;
+  Java's regex engine walks class atoms linearly, and the token_stats
+  gate went 0.27 s → 9.2 s at sf0.1. The diff-algebra form keeps the
+  property-table fast path in BOTH engines.)
+
+The table is pinned to the two engines in THIS image (pyspark 4.1.2 /
+bundled DuckDB); the adversarial-parity fuzz suite re-verifies the
+agreement empirically on every CI run, so an engine upgrade that drifts
+the tables fails loudly. Regenerate by rerunning this script under the
+new engines. Verification (every codepoint of the composed classes
+matches between both engines, and the fold round-trips identically) runs
+as part of generation.
 """
 
 from __future__ import annotations
@@ -45,18 +56,22 @@ MAX_CP = 0x110000
 SURROGATES = range(0xD800, 0xE000)
 
 
-def _chunks(flags: list[bool]) -> list[tuple[int, int]]:
-    """Contiguous True ranges as (start, end) inclusive."""
-    out, start = [], None
-    for cp, ok in enumerate(flags):
-        if ok and start is None:
-            start = cp
-        elif not ok and start is not None:
-            out.append((start, cp - 1))
-            start = None
-    if start is not None:
-        out.append((start, len(flags) - 1))
+def _chunks(cps: list[int]) -> list[tuple[int, int]]:
+    """Sorted codepoints as contiguous (start, end) inclusive ranges."""
+    out: list[tuple[int, int]] = []
+    for cp in cps:
+        if out and cp == out[-1][1] + 1:
+            out[-1] = (out[-1][0], cp)
+        else:
+            out.append((cp, cp))
     return out
+
+
+def _class_body(cps: list[int]) -> str:
+    parts = []
+    for a, b in _chunks(sorted(cps)):
+        parts.append(f"\\x{{{a:x}}}" if a == b else f"\\x{{{a:x}}}-\\x{{{b:x}}}")
+    return "".join(parts)
 
 
 def main() -> None:
@@ -90,81 +105,101 @@ def main() -> None:
         ).fetchall()
     }
 
-    letter = [False] * MAX_CP
-    digit = [False] * MAX_CP
+    re2_only_l, java_only_l = [], []
+    re2_only_n, java_only_n = [], []
     fold_from, fold_to = [], []
+    target_l, target_n = [False] * MAX_CP, [False] * MAX_CP
     for cp in cps:
         jl, jn, jlo = java[cp]
         dl, dn, dlo = duck[cp]
-        letter[cp] = jl and dl
-        digit[cp] = jn and dn
+        target_l[cp], target_n[cp] = dl, dn  # the shared table IS RE2's
+        if dl and not jl:
+            re2_only_l.append(cp)
+        if jl and not dl:
+            java_only_l.append(cp)
+        if dn and not jn:
+            re2_only_n.append(cp)
+        if jn and not dn:
+            java_only_n.append(cp)
         c = chr(cp)
         if jlo == dlo and jlo != c and len(jlo) == 1:
             fold_from.append(c)
             fold_to.append(jlo)
 
-    def class_body(flags: list[bool]) -> str:
-        parts = []
-        for a, b in _chunks(flags):
-            if a == b:
-                parts.append(f"\\x{{{a:x}}}")
-            else:
-                parts.append(f"\\x{{{a:x}}}-\\x{{{b:x}}}")
-        return "".join(parts)
+    bodies = {
+        "RE2_ONLY_LETTER_BODY": _class_body(re2_only_l),
+        "JAVA_ONLY_LETTER_BODY": _class_body(java_only_l),
+        "RE2_ONLY_DIGIT_BODY": _class_body(re2_only_n),
+        "JAVA_ONLY_DIGIT_BODY": _class_body(java_only_n),
+    }
+    fold_from_s, fold_to_s = "".join(fold_from), "".join(fold_to)
 
-    letter_body = class_body(letter)
-    digit_body = class_body(digit)
-    n_letter = sum(letter)
-    n_digit = sum(digit)
+    # ---- compose the Java-side classes exactly as textstats does ----
+    def java_class(prop: str, adds: str, subs: str) -> str:
+        body = prop + adds
+        return "[" + body + ("&&[^" + subs + "]" if subs else "") + "]"
 
-    # ---- verify the emitted contract against BOTH engines ----
-    probe = [cp for cp in cps if cp < 0x3000] + [
-        cp for cp in cps if letter[cp] or digit[cp]
-    ][::97]
+    jl_class = java_class(r"\p{L}", bodies["RE2_ONLY_LETTER_BODY"],
+                          bodies["JAVA_ONLY_LETTER_BODY"])
+    jn_class = java_class(r"\p{N}", bodies["RE2_ONLY_DIGIT_BODY"],
+                          bodies["JAVA_ONLY_DIGIT_BODY"])
+
+    # ---- verify: composed Java classes == RE2 tables, on EVERY diff
+    # codepoint plus a broad sweep ----
+    probe = sorted(
+        set(re2_only_l + java_only_l + re2_only_n + java_only_n)
+        | set(range(0x0, 0x3000))
+        | set(cps[::211])
+    )
+    probe = [cp for cp in probe if cp not in SURROGATES and cp < MAX_CP]
     pdf = spark.createDataFrame(
         [(cp, chr(cp)) for cp in probe], "cp long, c string"
     )
-    fold_from_s, fold_to_s = "".join(fold_from), "".join(fold_to)
     vr = pdf.select(
         "cp",
-        (F.regexp_count("c", F.lit("[" + letter_body + "]")) > 0).alias("l"),
-        (F.regexp_count("c", F.lit("[" + digit_body + "]")) > 0).alias("n"),
+        (F.regexp_count("c", F.lit(jl_class)) > 0).alias("l"),
+        (F.regexp_count("c", F.lit(jn_class)) > 0).alias("n"),
         F.translate("c", fold_from_s, fold_to_s).alias("f"),
     ).collect()
     for r in vr:
         cp = r["cp"]
-        assert r["l"] == letter[cp], f"java letter drift at {cp:#x}"
-        assert r["n"] == digit[cp], f"java digit drift at {cp:#x}"
-    dv = con.execute(
-        "select cp, regexp_matches(c, ?), regexp_matches(c, ?),"
-        " translate(c, ?, ?) from t where cp < 12288 or cp % 97 = 0",
-        ["[" + letter_body + "]", "[" + digit_body + "]", fold_from_s, fold_to_s],
-    ).fetchall()
+        assert r["l"] == target_l[cp], f"java composed letter drift at {cp:#x}"
+        assert r["n"] == target_n[cp], f"java composed digit drift at {cp:#x}"
     jf = {r["cp"]: r["f"] for r in vr}
+    dv = con.execute(
+        r"select cp, regexp_matches(c, '\p{L}'), regexp_matches(c, '\p{N}'),"
+        " translate(c, ?, ?) from t",
+        [fold_from_s, fold_to_s],
+    ).fetchall()
     for cp, dl, dn, dfo in dv:
-        assert bool(dl) == letter[cp], f"duck letter drift at {cp:#x}"
-        assert bool(dn) == digit[cp], f"duck digit drift at {cp:#x}"
+        assert bool(dl) == target_l[cp], f"duck letter drift at {cp:#x}"
+        assert bool(dn) == target_n[cp], f"duck digit drift at {cp:#x}"
         if cp in jf:
             assert dfo == jf[cp], f"fold drift at {cp:#x}"
 
+    n_l = sum(target_l)
+    n_n = sum(target_n)
     with open("/root/repo/ocr_spark/functions/uniconst.py", "w") as f:
-        f.write('"""FROZEN cross-engine Unicode contract — GENERATED, do not hand-edit.\n\n')
-        f.write("Produced by scripts/gen_unicode_contract.py (see its docstring for\n")
-        f.write("why and how); committed so the contract never drifts with engine\n")
-        f.write("upgrades. Letter/digit classes are the INTERSECTION of JDK 17 regex\n")
-        f.write("\\\\p{L}/\\\\p{N} and DuckDB/RE2's; the case fold is the agreement set\n")
-        f.write("of both engines' lower() restricted to 1:1 mappings.\n")
-        f.write(f"Sizes: {n_letter} letters, {n_digit} digits, {len(fold_from)} fold pairs.\n")
+        f.write('"""PINNED cross-engine Unicode contract — GENERATED, do not hand-edit.\n\n')
+        f.write("Produced by scripts/gen_unicode_contract.py (see its docstring for why\n")
+        f.write("and how). The shared letter/digit tables are DuckDB/RE2's current\n")
+        f.write("\\\\p{L}/\\\\p{N}; the *_ONLY_* bodies are the tiny per-engine diff sets\n")
+        f.write("that let the Java side reproduce that exact table with fast class\n")
+        f.write("algebra while the SQL oracles keep the bare shorthand. The case fold\n")
+        f.write("is the agreement set of both engines' lower(), 1:1 mappings only.\n")
+        f.write(f"Table sizes: {n_l} letters, {n_n} digits; diffs: "
+                f"{len(re2_only_l)}/{len(java_only_l)} letters, "
+                f"{len(re2_only_n)}/{len(java_only_n)} digits (re2-only/java-only); "
+                f"{len(fold_from)} fold pairs.\n")
         f.write('"""\n\n')
-        f.write("# class BODIES (no brackets): compose as f'[{LETTER_CLASS_BODY}]'\n")
-        f.write(f"LETTER_CLASS_BODY = {letter_body!r}\n\n")
-        f.write(f"DIGIT_CLASS_BODY = {digit_body!r}\n\n")
+        for name, body in bodies.items():
+            f.write(f"{name} = {body!r}\n\n")
         f.write("# translate() argument strings: FROM[i] folds to TO[i]\n")
         f.write(f"FOLD_FROM = {fold_from_s!r}\n\n")
         f.write(f"FOLD_TO = {fold_to_s!r}\n")
     print(
-        f"written: {n_letter} letters in {letter_body.count('x')} atoms, "
-        f"{n_digit} digits, {len(fold_from)} fold pairs"
+        f"written: diffs L +{len(re2_only_l)}/-{len(java_only_l)}, "
+        f"N +{len(re2_only_n)}/-{len(java_only_n)}, fold {len(fold_from)} pairs"
     )
 
 
