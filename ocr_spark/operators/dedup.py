@@ -268,12 +268,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = nbrs.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
-    # emitted (bigger-neighbor, neighborhood-min) is canonical: v > u >= m
+    # emitted (bigger-neighbor, neighborhood-min) is canonical: v > u >= m.
+    # NO distinct here: the only consumer is _small_star, whose groupBy-min
+    # is duplicate-insensitive and whose own terminal distinct produces the
+    # identical edge set either way — dropping it removes one full shuffle
+    # of the round's largest intermediate from every round (the r5 ccskew
+    # leg showed the fixpoint loop is stage-overhead-bound).
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -290,6 +294,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionByName(own).distinct()
 
 
+def _edge_signature(edges: DataFrame):
+    """One-pass set signature for the fixpoint check: ``(count,
+    sum(xxhash64(u, v)), bit_xor(xxhash64(u, v)))`` over the (distinct)
+    edge set. Two different sets collide only if count AND the 64-bit sum
+    AND the 64-bit xor all match — ~2⁻¹²⁸, the same standard as the
+    ExactSubstr dual-xxhash64 window keys. Replaces the earlier exact
+    ``exceptAll ∪ exceptAll → isEmpty`` check, which shuffled BOTH edge
+    sets twice per round and dominated the loop once the edge set shrank
+    (the r5 ccskew scaling leg read 0.374 N→4N from that overhead)."""
+    h = F.xxhash64("u", "v")
+    # decimal(38,0) sum: a long sum of 64-bit hashes overflows under ANSI
+    # mode; 10^12 edges × 2^63 still fits 38 digits with room to spare
+    return tuple(
+        edges.agg(
+            F.count("*").alias("c"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+    )
+
+
 def _star_components(
     edges: DataFrame, max_iter: int
 ) -> tuple[DataFrame, int, bool]:
@@ -298,19 +323,28 @@ def _star_components(
     id. Rounds are bounded O(log² n) in the COMPONENT SIZE, independent of
     graph diameter (the property min-label propagation lacks). Returns
     ``(node→min mapping, rounds, converged)``; under non-convergence the
-    mapping is the partial ``groupBy-min`` of the remaining edges."""
-    edges = edges.localCheckpoint()
-    rounds, converged = 0, edges.isEmpty()
+    mapping is the partial ``groupBy-min`` of the remaining edges.
+
+    Each round's output is repartitioned to the session default
+    parallelism before the checkpoint: localCheckpoint freezes the RDD's
+    partition count, and the per-round ``unionByName`` inside the star
+    passes SUMS its children's counts — unpinned, the width compounds
+    round over round into thousands of near-empty tasks whose scheduling
+    cost is parallelism-independent (the ccskew leg's 0.374 before the
+    pin). The edge set only shrinks, so default-parallelism partitions
+    are always enough."""
+    width = edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(width).localCheckpoint()
+    sig = _edge_signature(edges)
+    rounds, converged = 0, sig[0] == 0
     while not converged and rounds < max_iter:
         rounds += 1
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        # one action: symmetric difference of two distinct edge sets
-        converged = (
-            new_edges.exceptAll(edges)
-            .unionByName(edges.exceptAll(new_edges))
-            .isEmpty()
+        new_edges = (
+            _small_star(_large_star(edges)).repartition(width).localCheckpoint()
         )
-        edges = new_edges
+        new_sig = _edge_signature(new_edges)
+        converged = new_sig == sig
+        edges, sig = new_edges, new_sig
     # at fixpoint each non-root has exactly one edge (u, root); the
     # groupBy-min is the identity there and a safe partial label otherwise
     mapping = edges.groupBy("u").agg(F.min("v").alias("label")).select(

@@ -38,7 +38,11 @@ from ocr_spark.operators.curation import (
     top_ngrams,
     unigram_lm,
 )
-from ocr_spark.operators.dedup import minhash_lsh_candidates, simhash_dup_pairs
+from ocr_spark.operators.dedup import (
+    dup_clusters,
+    minhash_lsh_candidates,
+    simhash_dup_pairs,
+)
 from ocr_spark.operators.embed import make_embedding_udf
 from ocr_spark.operators.layout import assemble_reading_order, detect_regions
 from ocr_spark.operators.mixing import decontaminate, pack_sequences
@@ -201,6 +205,15 @@ JOBS = {{
     # (model-sized shuffles) + the broadcast-llr scoring join over the raw
     # pool (the classify joined shape), 2^16 buckets, unigram+bigram
     "dsir": lambda: _dsir_job(),
+    # connected components under a giant-DIAMETER component: a 50k-node
+    # chain (worst case for any propagation scheme — min-label would need
+    # 50k rounds) + the gate's modular background pairs at 500k nodes.
+    # The alternating-star rounds bound is diameter-independent (~17
+    # rounds here); each round is two groupBy+join passes over a
+    # shrinking edge set, so the leg measures how the round-serialized
+    # fixpoint loop scales N->4N (the per-round barrier is the risk,
+    # not a hot key: every star pass is linear per node).
+    "ccskew": lambda: _cc_skew_job(),
 }}
 
 def _weights_df():
@@ -278,6 +291,29 @@ def _langid_job():
     model = langid_fit(fit, 1 << 14, n=3, seed=2, hash_family="xxhash")
     return langid_predict(langid_scores(
         score, model, 1 << 14, n=3, seed=2, hash_family="xxhash"))
+
+def _cc_skew_job():
+    # Per-round star work must DOMINATE the round's fixed stage/driver
+    # latency (~2 s in the worker env, parallelism-INDEPENDENT) or the
+    # reading measures the fixpoint loop's latency floor, not the
+    # algorithm: 500k nodes read 0.374 and 2M read 0.466 from exactly
+    # that. 20M nodes / ~10M canonical edges puts ~10 s of work in each
+    # 8-core round; the 200k-link chain pins the ROUND COUNT (~18,
+    # diameter-independent is the property under test) while the modular
+    # background mass carries the throughput.
+    n = 20_000_000
+    ids = spark.range(n)
+    i = F.col("id")
+    chain = ids.filter(i < 200_000 - 1).select((i + 1).alias("id_a"), i.alias("id_b"))
+    e1 = ids.filter(i % 7 == 0).select(i.alias("id_a"), (i + 100_000_000).alias("id_b"))
+    e2 = ids.filter(i % 7 == 0).select(
+        (i + 100_000_000).alias("id_a"), (i + 200_000_000).alias("id_b")
+    )
+    e3 = ids.filter(i % 5 == 0).select(i.alias("id_a"), (i + 300_000_000).alias("id_b"))
+    edges = chain.unionByName(e1).unionByName(e2).unionByName(e3)
+    return dup_clusters(
+        edges, nodes=ids.select(F.col("id").alias("doc_id")), max_iter=40
+    )
 
 def _dsir_job():
     texts = spark.read.parquet(corpus + "_text")
@@ -524,7 +560,7 @@ def main() -> None:
                   "chunkdedup", "repetition", "decon", "topngrams", "deduplines",
                   "lmquality", "packseq", "quantized", "classify",
                   "semdedup", "semdedupskew", "urlcap", "dsir",
-                  "substrdedup", "langid")
+                  "substrdedup", "langid", "ccskew")
         if j in low and j in high
     ]
     job_eff = {
@@ -567,6 +603,7 @@ def main() -> None:
         "dsir": "DSIR importance scoring (2-corpus fit + broadcast-llr join)",
         "substrdedup": "ExactSubstr dedup (dual-hash window keeper + rebuild)",
         "langid": "trained language ID (char-trigram NB, broadcast model)",
+        "ccskew": "connected components, 50k-diameter chain (alternating star)",
     }
     extra_jobs = [j for j in jobs_run if j != "extract"]
     # _labels.get(j, j): an unlabeled job key must never KeyError AFTER the
